@@ -1,0 +1,98 @@
+"""End-to-end index build: pages → chunks → doc ids → postings/stats.
+
+Pipeline (SURVEY §7 Phase 1/2):
+    pages(url, warc_ts, html, text, lang)
+      → chunk_pages (full mode; Arrow UDF + explode)
+      → assign_doc_ids by (url asc, chunk_index asc)   [§1.4 contract]
+      → tokenize (JVM regex)  → doc_len
+      → term_freqs (two-phase hash agg)
+      → build_postings (salted groupBy(term), sorted arrays)
+      → corpus stats (count/avg)
+
+`InMemoryIndex` mirrors the reference's `index_in_memory` surface
+(vexor/api.py:82-169): holds the four DataFrames (docs, postings,
+doclen implied by docs, stats) plus driver-cached stats scalars, and
+answers BM25 top-k queries. Persistence lives in index/storage.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vexor_spark.constants import DEFAULT_SALT_PARTITIONS, DEFAULT_TERM_BUCKETS
+from vexor_spark.operators.chunking import chunk_pages
+from vexor_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    term_freqs,
+    tokenize_docs,
+)
+from vexor_spark.operators.scoring import score_postings_df, top_k
+from vexor_spark.plans.docids import assign_doc_ids
+
+
+@dataclass
+class InMemoryIndex:
+    docs: DataFrame  # doc_id, url, chunk_index, label, preview, lines, doc_len
+    postings: DataFrame  # term, term_bucket, df, postings
+    stats: DataFrame  # doc_count, avg_doc_len
+    doc_count: int
+    avg_doc_len: float
+
+    def search(self, query: str, k: int = 10, *, round_dp: int | None = None) -> DataFrame:
+        scored = score_postings_df(self.postings, query, self.doc_count, self.avg_doc_len)
+        ranked = top_k(scored, k, round_dp=round_dp)
+        # Decorate with chunk metadata via broadcast join (reference J6,
+        # search_service.py:524-550 — k ≤ 150 so the ranked side is tiny).
+        meta = self.docs.select(
+            "doc_id", "url", "chunk_index", "preview", "start_line", "end_line"
+        )
+        return (
+            meta.join(F.broadcast(ranked), "doc_id")
+            .select(
+                "rank", "doc_id", "url", "score", "preview",
+                "chunk_index", "start_line", "end_line",
+            )
+            .orderBy("rank")
+        )
+
+
+def build_docs(pages: DataFrame) -> DataFrame:
+    """pages → per-chunk doc table with deterministic doc ids + tokens."""
+    chunks = chunk_pages(pages)
+    with_ids = assign_doc_ids(chunks, ["url", "chunk_index"])
+    return tokenize_docs(with_ids, "document")
+
+
+def build_index(
+    pages: DataFrame,
+    *,
+    salt_partitions: int = DEFAULT_SALT_PARTITIONS,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    cache: bool = True,
+) -> InMemoryIndex:
+    docs = build_docs(pages)
+    doc_table = docs.select(
+        "doc_id", "url", "chunk_index", "label", "preview",
+        "start_line", "end_line", "doc_len",
+    )
+    if cache:
+        doc_table = doc_table.persist()
+    tf = term_freqs(docs.select("doc_id", "doc_len", "tokens"))
+    postings = build_postings(
+        tf, salt_partitions=salt_partitions, term_buckets=term_buckets
+    )
+    if cache:
+        postings = postings.persist()
+    stats = corpus_stats(doc_table.select("doc_id", "doc_len"))
+    row = stats.collect()[0]
+    return InMemoryIndex(
+        docs=doc_table,
+        postings=postings,
+        stats=stats,
+        doc_count=int(row["doc_count"]),
+        avg_doc_len=float(row["avg_doc_len"]) if row["avg_doc_len"] is not None else 0.0,
+    )

@@ -1,0 +1,103 @@
+"""Posting-list construction — the shuffle-heavy core (SURVEY A3/A4).
+
+docs(doc_id, document) →
+  term_freqs(doc_id, term, tf)        [explode + two-phase hash agg]
+  doc_lens(doc_id, doc_len)           [size(tokens), no shuffle]
+  stats(doc_count, avg_doc_len)       [global agg, reference
+                                       vexor/cache.py:1475-1483]
+  postings(term, df, postings:array<struct<doc_id,tf,doc_len>>)
+                                      [groupBy(term) + sorted arrays,
+                                       reference load shape
+                                       vexor/cache.py:1492-1535]
+
+Scale notes:
+- tf aggregation is a `groupBy(doc_id, term)` — Spark performs partial
+  (map-side) aggregation before the shuffle automatically.
+- posting assembly groups by `term`; web-scale term distributions are
+  Zipfian, so the head terms are hot reduce keys. `salt_partitions > 1`
+  splits each term into `pmod(hash(doc_id), S)` sub-groups, builds
+  partial sorted arrays, then merges the S arrays per term — bounding
+  any single reduce task's input (SURVEY §4.2; AQE alone cannot split a
+  single `collect_list` key).
+- doc_len is denormalized into the posting struct, mirroring the
+  reference's query-time load shape `(chunk_id, tf, doc_len)`
+  (vexor/cache.py:1517-1527) — kills a corpus-sized doclen join at
+  query time for the cost of one varint per posting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vexor_spark.constants import DEFAULT_SALT_PARTITIONS, DEFAULT_TERM_BUCKETS
+from vexor_spark.functions.tokenize import tokenize_col
+
+POSTING_STRUCT = "struct<doc_id:bigint,tf:int,doc_len:int>"
+
+
+def tokenize_docs(docs: DataFrame, text_col: str = "document") -> DataFrame:
+    """+tokens(array<string>), +doc_len(int). JVM-side regex tokenizer."""
+    return docs.withColumn("tokens", tokenize_col(text_col)).withColumn(
+        "doc_len", F.size("tokens")
+    )
+
+
+def term_freqs(tokenized: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, doc_len) — per-doc term frequencies
+    (vexor/bm25.py:60-61 via explode + count)."""
+    return (
+        tokenized.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+def doc_lens(tokenized: DataFrame) -> DataFrame:
+    return tokenized.select("doc_id", "doc_len")
+
+
+def corpus_stats(doclens: DataFrame) -> DataFrame:
+    """(doc_count, avg_doc_len) — vexor/cache.py:1475-1483 semantics."""
+    return doclens.agg(
+        F.count("*").alias("doc_count"),
+        F.avg("doc_len").alias("avg_doc_len"),
+    )
+
+
+def build_postings(
+    tf_df: DataFrame,
+    *,
+    salt_partitions: int = DEFAULT_SALT_PARTITIONS,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """(term, term_bucket, df, postings) with postings sorted by doc_id.
+
+    Two-phase salted assembly: partial sorted arrays per (term, salt),
+    then flatten+sort per term. With salt_partitions=1 this degenerates
+    to a single groupBy(term).
+    """
+    posting = F.struct(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+    )
+    if salt_partitions > 1:
+        partial = (
+            tf_df.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions)))
+            .groupBy("term", "_salt")
+            .agg(F.sort_array(F.collect_list(posting)).alias("_part"))
+        )
+        merged = partial.groupBy("term").agg(
+            F.sort_array(F.flatten(F.collect_list("_part"))).alias("postings")
+        )
+    else:
+        merged = tf_df.groupBy("term").agg(
+            F.sort_array(F.collect_list(posting)).alias("postings")
+        )
+    return merged.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("term_bucket"),
+        F.size("postings").alias("df"),
+        "postings",
+    )
