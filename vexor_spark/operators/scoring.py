@@ -102,6 +102,87 @@ def top_k(scored: DataFrame, k: int, *, round_dp: int | None = None) -> DataFram
     )
 
 
+def bm25_topk_from_docs(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, score) straight from a document table — the
+    postings build inlined (tokenize → tf → df → contribution → sum).
+    Catalyst sees one declarative plan: the tf aggregation is two-phase,
+    the query-term join is a broadcast, and top-k is
+    TakeOrderedAndProject. Used by the oracle-parity catalog and as the
+    no-index query path (reference's in-memory scorer analog,
+    search_service.py:129-154).
+    """
+    return bm25_topk_multi(
+        docs, {"q": query}, k, doc_id_col=doc_id_col, text_col=text_col, round_dp=round_dp
+    ).drop("query")
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, str],
+    k: int = 10,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(query, rank, doc_id, score) for a batch of queries in ONE plan:
+    the query-term table carries a query label, scoring groups by
+    (query, doc_id), ranking is a window partitioned by query."""
+    from pyspark.sql import Window
+
+    from vexor_spark.operators.postings import term_freqs, tokenize_docs
+
+    spark = docs.sparkSession
+    qrows = [
+        (name, t)
+        for name, q in queries.items()
+        for t in prepare_query_terms(q)
+    ]
+    tokenized = tokenize_docs(docs.select(F.col(doc_id_col).alias("doc_id"),
+                                          F.col(text_col).alias("document")))
+    stats = tokenized.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    doc_count, avg_doc_len = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if not qrows or doc_count <= 0 or avg_doc_len <= 0:
+        return spark.createDataFrame([], "query string, rank long, doc_id long, score double")
+    qdf = spark.createDataFrame(qrows, "query string, term string")
+    tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens"))
+    matched = tf.join(F.broadcast(qdf), "term")
+    # df per term over matched rows == full-corpus document frequency
+    # (tf has exactly one row per (doc, term)).
+    dfreq = matched.groupBy("query", "term").agg(F.count("*").alias("df"))
+    contrib = bm25_contribution_col(
+        F.col("tf").cast("double"),
+        F.col("doc_len").cast("double"),
+        F.col("df").cast("double"),
+        float(doc_count),
+        float(avg_doc_len),
+    )
+    scored = (
+        matched.join(dfreq, ["query", "term"])
+        .withColumn("contribution", contrib)
+        .groupBy("query", "doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("score", F.round("score", round_dp))
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query", "rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+
+
 def score_postings_local(
     query_terms: list[str],
     postings: dict[str, list[tuple[int, int, int]]],
