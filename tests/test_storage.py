@@ -1,0 +1,78 @@
+"""Persisted index: write → load → both query paths rank-identical to
+the oracle; partition pruning actually prunes."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vexor_spark.index.build import build_index
+from vexor_spark.index.storage import PersistedIndex, write_index
+from vexor_spark.oracle import pyref
+from vexor_spark.sources.corpus import generate_pages_df, generate_pages_local, query_suite
+
+N_PAGES = 80
+
+
+@pytest.fixture(scope="module")
+def persisted(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("index")
+    pages = generate_pages_df(spark, N_PAGES, edges=True, partitions=4)
+    index = build_index(pages, salt_partitions=2, term_buckets=8)
+    write_index(index, d)
+    index.docs.unpersist()
+    index.postings.unpersist()
+    local = generate_pages_local(N_PAGES, edges=True)
+    oracle = pyref.build_corpus_index([(r["url"], r["html"]) for r in local])
+    return PersistedIndex(spark, d), oracle, d
+
+
+def test_meta(persisted):
+    idx, oracle, d = persisted
+    meta = json.loads((d / "meta.json").read_text())
+    assert meta["doc_count"] == oracle["doc_count"]
+    assert meta["avg_doc_len"] == pytest.approx(oracle["avg_doc_len"], rel=1e-12)
+    assert meta["term_buckets"] == 8
+    # partitioned layout on disk
+    buckets = sorted(p.name for p in (d / "postings").glob("term_bucket=*"))
+    assert buckets and all(b.startswith("term_bucket=") for b in buckets)
+
+
+@pytest.mark.parametrize("qi", range(0, 30, 3))
+def test_both_query_paths_rank_identical(persisted, qi):
+    idx, oracle, _ = persisted
+    q = query_suite(N_PAGES)[qi]["query"]
+    want = pyref.search(oracle, q, k=10)
+
+    got_local = idx.search_local(q, k=10)
+    assert [(d, ) for _, d, _ in got_local] == [(d,) for d, _ in want], q
+    for (_, gd, gs), (wd, ws) in zip(got_local, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+    got_dist = [(r["doc_id"], r["score"]) for r in idx.search_distributed(q, k=10).collect()]
+    assert [d for d, _ in got_dist] == [d for d, _ in want], q
+    for (gd, gs), (wd, ws) in zip(got_dist, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_empty_and_cjk_queries(persisted):
+    idx, _, _ = persisted
+    assert idx.search_local("搜索引擎", k=10) == []
+    assert idx.search_local("zzqqxx_no_such_term", k=10) == []
+    assert idx.search_distributed("搜索引擎", k=10).count() == 0
+
+
+def test_partition_pruning_in_plan(persisted):
+    idx, _, _ = persisted
+    plan = idx._matched(["spark", "uid_000042"])._jdf.queryExecution().executedPlan().toString()
+    # The parquet scan must carry a PartitionFilters entry on term_bucket.
+    assert "term_bucket" in plan
+    assert "PartitionFilters: []" not in plan
+
+
+def test_decorated_results(persisted):
+    idx, oracle, _ = persisted
+    ranked = idx.search_distributed("uid_000042", k=5)
+    rows = idx.decorate(ranked).collect()
+    assert rows and rows[0]["url"].endswith("000042.html")

@@ -1,0 +1,172 @@
+"""Delta-gap + varint posting-list codec (SURVEY §2.10 item 4).
+
+The reference stores postings as uncompressed SQLite rows
+(vexor/cache.py:437-443); at web scale the index artifact must be
+compressed, so posting arrays are encoded as:
+
+    varint(n)                         — list length
+    n × [varint(doc_id gap), varint(tf), varint(doc_len)]
+
+with doc_id gaps relative to the previous doc_id (first entry stores
+the absolute id). Unsigned LEB128 varints. Encoding happens once at
+index-persist time (Arrow-batched pandas UDF over the already-sorted
+arrays); decoding happens for ≤ MAX_QUERY_TERMS lists per query.
+
+Block-max metadata (for WAND-style pruning) is computed alongside:
+per fixed-size block of the sorted list, the maximum of the
+idf-independent contribution kernel tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+— multiplied by idf at query time it upper-bounds any posting in the
+block (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from vexor_spark.constants import BM25_B, BM25_K1
+
+POSTING_BLOCK_SIZE = 128
+
+_POSTING_STRUCT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tf", IntegerType()),
+        StructField("doc_len", IntegerType()),
+    ]
+)
+
+
+def varint_encode(value: int, out: bytearray) -> None:
+    while True:
+        byte = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return
+
+
+def varint_decode(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        byte = data[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, pos
+        shift += 7
+
+
+def encode_posting_list(postings: list) -> bytes:
+    """postings: sorted [(doc_id, tf, doc_len), ...] or dicts."""
+    out = bytearray()
+    varint_encode(len(postings), out)
+    prev = 0
+    for p in postings:
+        if isinstance(p, dict):
+            doc_id, tf, doc_len = p["doc_id"], p["tf"], p["doc_len"]
+        else:
+            doc_id, tf, doc_len = p[0], p[1], p[2]
+        varint_encode(doc_id - prev, out)
+        varint_encode(tf, out)
+        varint_encode(doc_len, out)
+        prev = doc_id
+    return bytes(out)
+
+
+def decode_posting_list(data: bytes) -> list[tuple[int, int, int]]:
+    n, pos = varint_decode(data, 0)
+    out = []
+    doc_id = 0
+    for _ in range(n):
+        gap, pos = varint_decode(data, pos)
+        tf, pos = varint_decode(data, pos)
+        doc_len, pos = varint_decode(data, pos)
+        doc_id += gap
+        out.append((doc_id, tf, doc_len))
+    return out
+
+
+@F.pandas_udf(BinaryType())
+def encode_postings_udf(postings: pd.Series) -> pd.Series:
+    return postings.map(encode_posting_list)
+
+
+@F.pandas_udf(ArrayType(_POSTING_STRUCT))
+def decode_postings_udf(blobs: pd.Series) -> pd.Series:
+    def one(blob: bytes) -> list[dict]:
+        return [
+            {"doc_id": d, "tf": t, "doc_len": dl}
+            for d, t, dl in decode_posting_list(blob)
+        ]
+
+    return blobs.map(one)
+
+
+def tf_norm_kernel(tf: float, doc_len: float, avg_doc_len: float) -> float:
+    """idf-independent BM25 kernel: tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))."""
+    return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len / avg_doc_len))
+
+
+def make_block_max_udf(avg_doc_len: float, block_size: int = POSTING_BLOCK_SIZE):
+    """array<posting> → struct(block_last: array<long>, block_ub: array<double>)
+    — per-block last doc_id + max contribution kernel."""
+    out_type = StructType(
+        [
+            StructField("block_last", ArrayType(LongType())),
+            StructField("block_ub", ArrayType(DoubleType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def block_max(postings: pd.Series) -> pd.DataFrame:
+        lasts, ubs = [], []
+        for plist in postings:
+            bl, bu = [], []
+            for i in range(0, len(plist), block_size):
+                block = plist[i : i + block_size]
+                bl.append(int(block[-1]["doc_id"]))
+                bu.append(
+                    max(
+                        tf_norm_kernel(float(p["tf"]), float(p["doc_len"]), avg_doc_len)
+                        for p in block
+                    )
+                )
+            lasts.append(bl)
+            ubs.append(bu)
+        return pd.DataFrame({"block_last": lasts, "block_ub": ubs})
+
+    return block_max
+
+
+def max_kernel_col(avg_doc_len: float) -> Column:
+    """Per-term global max of the contribution kernel, computed JVM-side
+    over the postings array (used for max-score pruning bounds)."""
+    return F.array_max(
+        F.transform(
+            F.col("postings"),
+            lambda p: p["tf"].cast("double")
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                p["tf"].cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * p["doc_len"].cast("double") / F.lit(avg_doc_len)
+                )
+            ),
+        )
+    )

@@ -41,6 +41,7 @@ class InMemoryIndex:
     stats: DataFrame  # doc_count, avg_doc_len
     doc_count: int
     avg_doc_len: float
+    term_buckets: int = 64
 
     def search(self, query: str, k: int = 10, *, round_dp: int | None = None) -> DataFrame:
         scored = score_postings_df(self.postings, query, self.doc_count, self.avg_doc_len)
@@ -95,4 +96,5 @@ def build_index(
         stats=stats,
         doc_count=int(row["doc_count"]),
         avg_doc_len=float(row["avg_doc_len"]) if row["avg_doc_len"] is not None else 0.0,
+        term_buckets=term_buckets,
     )
