@@ -282,22 +282,120 @@ def build_corpus_index(pages: Sequence[tuple[str, bytes]]) -> dict:
             payloads = full_mode_payloads(url, text)
         rows.extend(payloads)
     docs = []
+    previews = []
     postings: dict[str, list[tuple[int, int, int]]] = {}
     for doc_id, payload in enumerate(rows):
         document = build_document(payload["url"], payload["label"])
         tokens = tokenize(document)
         doc_len = len(tokens)
         docs.append((doc_id, payload["url"], payload["chunk_index"], payload["label"], doc_len))
+        previews.append(payload["preview"])
         for term, tf in term_frequencies(tokens).items():
             postings.setdefault(term, []).append((doc_id, tf, doc_len))
     doc_count = len(docs)
     avg_doc_len = (sum(d[4] for d in docs) / doc_count) if doc_count else 0.0
     return {
         "docs": docs,
+        "previews": previews,
         "postings": postings,
         "doc_count": doc_count,
         "avg_doc_len": avg_doc_len,
     }
+
+
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def letter_cosine(text: str, query: str) -> float:
+    """Deterministic dense backend: letter-count cosine — the
+    reference's test oracle (tests/integration/test_end_to_end.py:15-30).
+    """
+    a = [text.lower().count(ch) for ch in LETTERS]
+    b = [query.lower().count(ch) for ch in LETTERS]
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    if na == 0 or nb == 0:
+        return 0.0
+    return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+
+def hybrid_search(index: dict, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """RRF hybrid arm: dense letter-cosine order over labels + BM25,
+    fused per bm25.py:92-115, top-k by (-fused, doc_id)."""
+    dense = sorted(
+        ((d[0], letter_cosine(d[3], query)) for d in index["docs"]),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    dense_order = [doc for doc, _ in dense]
+    terms = prepare_query_terms(query)
+    bm25 = score_postings(terms, index["postings"], index["doc_count"], index["avg_doc_len"])
+    fused = rrf_fuse(dense_order, bm25)
+    return top_k(fused, k)
+
+
+def bm25l_scores(
+    query_terms: Sequence[str],
+    docs_tokens: Sequence[Sequence[str]],
+) -> list[float]:
+    """BM25L over a candidate micro-corpus (rank_bm25's formula, used by
+    the legacy rerank arm, search_service.py:185-196): idf =
+    ln((N+1)/(df+0.5)); ctd = tf/(1-b+b·dl/avgdl);
+    s += idf·(k1+1)·(ctd+0.5)/(k1+ctd+0.5)."""
+    n = len(docs_tokens)
+    if n == 0:
+        return []
+    avgdl = sum(len(t) for t in docs_tokens) / n
+    df: dict[str, int] = {}
+    for toks in docs_tokens:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = []
+    for toks in docs_tokens:
+        counts = Counter(toks)
+        dl = len(toks)
+        s = 0.0
+        for q in query_terms:
+            tf = counts.get(q, 0)
+            if tf == 0 or q not in df:
+                continue
+            idf = math.log((n + 1) / (df[q] + 0.5))
+            ctd = tf / (1 - BM25_B + BM25_B * dl / avgdl) if avgdl > 0 else 0.0
+            s += idf * (BM25_K1 + 1.0) * (ctd + 0.5) / (BM25_K1 + ctd + 0.5)
+        out.append(s)
+    return out
+
+
+def weighted_rerank_search(index: dict, query: str, k: int = 10) -> list[tuple[int, float]]:
+    """Legacy `rerank=bm25` arm (search_service.py:199-218): dense
+    candidate clamp max(20, min(2k, 150)), rerank doc
+    "{name} {url} {preview}".strip(), 0.7·sem_norm + 0.3·bm25l_norm,
+    stable sort desc (ties keep dense order)."""
+    n_cand = max(20, min(2 * k, 150))
+    previews = {d[0]: p for d, p in zip(index["docs"], index.get("previews", []))}
+    dense = sorted(
+        ((d[0], letter_cosine(d[3], query), d[1]) for d in index["docs"]),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:n_cand]
+    qtoks = tokenize(query)
+    if not qtoks:
+        return [(doc, s) for doc, s, _ in dense[:k]]
+    docs_tokens = []
+    for doc, _s, url in dense:
+        name = url.rstrip("/").rsplit("/", 1)[-1] or url
+        preview = previews.get(doc) or ""
+        docs_tokens.append(tokenize(f"{name} {url} {preview}".strip()))
+    # NOTE: the legacy arm passes the RAW query token list (duplicates
+    # included, no 32-cap) to BM25L (search_service.py:203-208).
+    bm = bm25l_scores(qtoks, docs_tokens)
+    sem = [max(s, 0.0) for _, s, _ in dense]
+    sem_n = normalize_by_max(sem)
+    bm_n = normalize_by_max(bm)
+    fused = [
+        (doc, 0.7 * sn + 0.3 * bn)
+        for (doc, _s, _u), sn, bn in zip(dense, sem_n, bm_n)
+    ]
+    fused.sort(key=lambda kv: -kv[1])  # stable: ties keep dense order
+    return fused[:k]
 
 
 def search(index: dict, query: str, k: int = 10) -> list[tuple[int, float]]:
