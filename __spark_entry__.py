@@ -18,7 +18,7 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from vexor_spark import catalog  # noqa: E402
+from vexor_spark import catalog, catalog_ext  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(catalog.QUERIES)
+    return {**catalog.QUERIES, **catalog_ext.EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(catalog.ORACLE_SQL)
+    return {**catalog.ORACLE_SQL, **catalog_ext.EXT_ORACLE_SQL}

@@ -1,0 +1,164 @@
+"""Engine benchmark — prints ONE JSON line for the driver.
+
+Three sections:
+1. Headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]: per-query
+   wall-clock seconds ("queries" field; "value" = their sum).
+2. Index-build scaling: the identical `spark-submit --py-files` job
+   (scripts/bench_build.py) at local[N_SMALL=8] and local[N_BIG=32] on
+   the same deterministic synthetic pages corpus — the sandbox stand-in
+   for the N vs 4N executor criterion (see BASELINE.md). Reports
+   docs/sec at both and efficiency = big/(4·small).
+3. BM25 top-10 query latency (median/p95 over the 30-query suite,
+   warm persisted index) from the local[32] run.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES (corpus
+size for the build benchmark, default 24000), BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "24000"))
+N_SMALL, N_BIG = 8, 32
+
+HEADLINE = [
+    "bm25_top10",
+    "bm25_multi",
+    "term_tf",
+    "term_df",
+    "corpus_stats",
+    "rrf_hybrid",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "near_dup_pairs",
+    "simhash",
+    "lang_id",
+    "quality_score",
+    "chunk_full",
+    "keyword_top20",
+    "events_hourly",
+]
+
+
+def _zip_package(tmp: Path) -> Path:
+    zpath = tmp / "vexor_spark.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted((REPO / "vexor_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(REPO))
+    return zpath
+
+
+def _run_build(master: str, pages: int, zpath: Path, workdir: Path, queries: int) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master",
+        master,
+        "--conf",
+        "spark.sql.shuffle.partitions=64",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--conf",
+        "spark.driver.memory=8g",
+        "--py-files",
+        str(zpath),
+        str(REPO / "scripts" / "bench_build.py"),
+        "--pages",
+        str(pages),
+        "--workdir",
+        str(workdir),
+        "--queries",
+        str(queries),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+    m = re.search(r"BENCH_BUILD (\{.*\})", proc.stdout)
+    if not m:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench_build produced no result at {master}")
+    return json.loads(m.group(1))
+
+
+def run_headline_queries() -> dict[str, float]:
+    from vexor_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32), app_name="vexor_bench"
+    )
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else None
+
+    timings = run_headline_queries()
+
+    result = {
+        "metric": "headline query suite wall-clock (sum) + index-build scaling",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        tmp = Path(tempfile.mkdtemp(prefix="vexor_bench_"))
+        try:
+            zpath = _zip_package(tmp)
+            small = _run_build(
+                f"local[{N_SMALL}]", BENCH_PAGES, zpath, tmp / "n_small", queries=0
+            )
+            big = _run_build(
+                f"local[{N_BIG}]", BENCH_PAGES, zpath, tmp / "n_big", queries=30
+            )
+            eff = big["docs_per_sec"] / (
+                (N_BIG / N_SMALL) * small["docs_per_sec"]
+            )
+            result["scaling"] = {
+                "pages": BENCH_PAGES,
+                "docs": big["docs"],
+                "docs_per_sec_n8": small["docs_per_sec"],
+                "docs_per_sec_n32": big["docs_per_sec"],
+                "build_secs_n8": small["build_secs"],
+                "build_secs_n32": big["build_secs"],
+                "efficiency_n8_to_n32": round(eff, 3),
+            }
+            result["bm25_query_latency"] = {
+                "median_sec": big.get("query_median_sec"),
+                "p95_sec": big.get("query_p95_sec"),
+            }
+            result["index_build_docs_per_sec"] = big["docs_per_sec"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

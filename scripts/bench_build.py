@@ -1,0 +1,95 @@
+"""spark-submit target: timed index build + query latency benchmark.
+
+Usage (via spark-submit --py-files vexor_spark.zip):
+    spark-submit --master local[8] scripts/bench_build.py \
+        --pages 40000 --workdir /tmp/bench_n8 [--queries 30]
+
+Prints one JSON line prefixed BENCH_BUILD with:
+    pages, chunks(docs), build_secs, docs_per_sec, write_secs,
+    query latencies (median/p95) over the 30-query suite (search_local
+    on the persisted index) when --queries > 0.
+
+The pages corpus is materialized to parquet FIRST (untimed) so the
+timed section measures the engine (extract→chunk→ids→postings→persist),
+not synthetic-data generation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--queries", type=int, default=30)
+    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--term-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from vexor_spark.index.build import build_index
+    from vexor_spark.index.storage import PersistedIndex, write_index
+    from vexor_spark.sources.corpus import generate_pages_df, query_suite
+
+    spark = SparkSession.builder.getOrCreate()
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="vexor_bench_"))
+    work.mkdir(parents=True, exist_ok=True)
+    pages_path = work / "pages"
+    idx_path = work / "index"
+
+    # corpus materialization (untimed)
+    if not (pages_path / "_SUCCESS").exists():
+        generate_pages_df(spark, args.pages, edges=False).write.mode("overwrite").parquet(
+            str(pages_path)
+        )
+
+    pages = spark.read.parquet(str(pages_path))
+
+    t0 = time.time()
+    index = build_index(
+        pages, salt_partitions=args.salt, term_buckets=args.term_buckets
+    )
+    build_secs = time.time() - t0
+
+    t1 = time.time()
+    write_index(index, idx_path)
+    write_secs = time.time() - t1
+
+    out = {
+        "pages": args.pages,
+        "docs": index.doc_count,
+        "build_secs": round(build_secs, 3),
+        "docs_per_sec": round(index.doc_count / build_secs, 2),
+        "pages_per_sec": round(args.pages / build_secs, 2),
+        "write_secs": round(write_secs, 3),
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+
+    if args.queries > 0:
+        pidx = PersistedIndex(spark, idx_path)
+        suite = query_suite(min(args.pages, 100_000))[: args.queries]
+        pidx.search_local("warmup query spark", k=10)  # warm metadata
+        lats = []
+        for q in suite:
+            tq = time.time()
+            pidx.search_local(q["query"], k=10)
+            lats.append(time.time() - tq)
+        lats.sort()
+        out["query_median_sec"] = round(statistics.median(lats), 4)
+        out["query_p95_sec"] = round(lats[int(len(lats) * 0.95) - 1], 4)
+        out["query_mean_sec"] = round(statistics.mean(lats), 4)
+
+    print("BENCH_BUILD " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Semantics tests for dedup / similarity / textstats operators:
+planted ground truth, not just cross-engine parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vexor_spark.functions.tokenize import tokenize_col
+from vexor_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    simhash_col,
+)
+from vexor_spark.operators.similarity import (
+    ann_topk,
+    bucket_of,
+    cosine_topk,
+    hyperplanes,
+)
+from vexor_spark.operators.textstats import lang_id_col, quality_score_col
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "spark executors shuffle partitions across the cluster during wide stages"),
+        (2, "posting lists compress well with delta gaps and variable length integers"),
+        (3, "completely unrelated text about cooking pasta with garlic and olive oil"),
+    ]
+    # 100: exact dup of 0; 101: near dup of 1 (one word changed); 102: unrelated
+    extra = [
+        (100, base[0][1]),
+        (101, base[1][1].replace("cluster", "fleet")),
+        (102, "quantum chemistry simulations require dense linear algebra kernels"),
+    ]
+    df = spark.createDataFrame(base + extra, "doc_id long, text string")
+    return df.withColumn("tokens", tokenize_col("text"))
+
+
+def test_exact_dup_groups(dup_corpus):
+    groups = {r["fingerprint"]: r for r in exact_dup_groups(dup_corpus, "text").collect()}
+    sizes = sorted(r["n_docs"] for r in groups.values())
+    assert sizes == [1, 1, 1, 1, 1, 2]
+    dup = [r for r in groups.values() if r["n_docs"] == 2][0]
+    assert dup["rep_doc_id"] == 0  # min doc_id representative
+
+
+def test_minhash_identical_docs_equal_sigs(dup_corpus):
+    sigs = {r["doc_id"]: [r[f"sig_{j}"] for j in range(8)] for r in minhash_signatures(dup_corpus).collect()}
+    assert sigs[0] == sigs[100]
+    # near-dup shares most signature slots
+    shared = sum(a == b for a, b in zip(sigs[1], sigs[101]))
+    assert shared >= 4
+    # unrelated docs differ
+    assert sigs[3] != sigs[102]
+
+
+def test_lsh_pairs_and_jaccard(dup_corpus):
+    sigs = minhash_signatures(dup_corpus)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 100) in pairs
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    assert verified[(0, 100)] == pytest.approx(1.0)
+    if (1, 101) in verified:
+        assert 0.5 <= verified[(1, 101)] < 1.0
+    # unrelated docs never pass verification
+    assert (3, 102) not in verified
+
+
+def test_simhash_identity_and_locality(dup_corpus):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in dup_corpus.select("doc_id", simhash_col(F.col("tokens")).alias("sh")).collect()
+    }
+    assert sh[0] == sh[100]
+    ham = bin(sh[1] ^ sh[101]).count("1")
+    assert ham <= 6  # near-dups land close in Hamming space
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(200):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_self_is_rank1(emb):
+    q = [float(x) for x in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    rows = cosine_topk(emb, q, 5).collect()
+    assert rows[0]["vec_id"] == 7
+    assert rows[0]["cos"] == pytest.approx(1.0, abs=1e-9)
+    assert all(rows[i]["cos"] >= rows[i + 1]["cos"] for i in range(len(rows) - 1))
+
+
+def test_ann_topk_subset_of_brute_force(emb):
+    q = [float(x) for x in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    planes = hyperplanes(16)
+    ann = ann_topk(emb, q, 5, planes=planes).collect()
+    assert ann[0]["vec_id"] == 7  # query's own vector shares its bucket
+    brute = {r["vec_id"]: r["cos"] for r in cosine_topk(emb, q, 200).collect()}
+    for r in ann:
+        assert r["cos"] == pytest.approx(brute[r["vec_id"]], abs=1e-9)
+    # multi-probe widens candidates monotonically
+    ann3 = ann_topk(emb, q, 5, planes=planes, probe_buckets=3).collect()
+    assert len(ann3) >= len(ann) - 1
+
+
+def test_bucket_of_matches_spark(emb, spark):
+    from vexor_spark.operators.similarity import lsh_bucket_col
+
+    planes = hyperplanes(16)
+    rows = emb.limit(20).withColumn(
+        "b", lsh_bucket_col(F.col("embedding"), planes)
+    ).collect()
+    for r in rows:
+        assert r["b"] == bucket_of([float(x) for x in r["embedding"]], planes)
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog is in the yard for a nap"),
+            (2, "der hund ist auf der wiese und das kind ist nicht mit der katze"),
+            (3, "le chat est dans la maison et les enfants sont pour une pause"),
+            (4, "xyzzy qwerty asdf"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    toks = tokenize_col("text")
+    rows = {
+        r["doc_id"]: (r["lang"], r["q"])
+        for r in df.select(
+            "doc_id",
+            lang_id_col(toks).alias("lang"),
+            quality_score_col(toks, F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1][0] == "en"
+    assert rows[2][0] == "de"
+    assert rows[3][0] == "fr"
+    assert rows[4][0] == "und"
+    assert rows[5][0] == "und"
+    assert rows[5][1] == 0.0
+    assert rows[1][1] > rows[4][1]  # natural language scores higher
+    assert 0.0 <= rows[1][1] <= 1.0

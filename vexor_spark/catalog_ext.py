@@ -1,0 +1,658 @@
+"""Catalog batch 2: fusion, similarity search, dedup family, text
+analysis, chunking, and event-window operators — each as a Spark
+DataFrame program paired with an exactly-equivalent DuckDB oracle SQL.
+
+Cross-engine determinism rules used throughout:
+- the shared polynomial string hash (textstats.poly_hash_col);
+- sequential left-to-right float reductions (Spark `aggregate` ≡ DuckDB
+  `list_reduce`) so dot products/norms are bit-identical;
+- scores rounded (6 dp) BEFORE ranking; ranking ties break by id asc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vexor_spark.catalog import FLAGSHIP_QUERY, docs_table, embeddings_table
+from vexor_spark.constants import SCORE_ROUND_DP, TOKEN_PATTERN_LOWER
+from vexor_spark.functions.tokenize import prepare_query_terms, tokenize_col
+from vexor_spark.operators import similarity as sim
+from vexor_spark.operators.dedup import (
+    MINHASH_PARAMS,
+    SIMHASH_BITS,
+    exact_dup_groups,
+    minhash_signatures,
+    near_dup_pairs,
+    simhash_col,
+)
+from vexor_spark.operators.fusion import bm25_rank_df, dense_rank_df, rrf_fuse_df
+from vexor_spark.operators.textstats import (
+    BPE_PATTERN,
+    HASH_MOD,
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    bpe_token_count_col,
+    fingerprint_col,
+    lang_id_col,
+    lang_scores,
+    quality_score_col,
+    ws_token_count_col,
+)
+
+EMB_DIM = 64
+RND = SCORE_ROUND_DP
+
+# --- shared SQL fragments ---------------------------------------------------
+
+SQL_TOKS = (
+    f"SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks,"
+    " text FROM documents"
+)
+
+_POLY = (
+    "list_reduce(list_transform(string_split({s},''), c -> ascii(c)::BIGINT),"
+    " (a,b) -> (a*31+b)%2147483647)"
+)
+
+SQL_SHINGLES = """
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 3
+    THEN list_transform(generate_series(1, len(toks)-2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok
+)"""
+
+SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x,y) -> x+y)"
+)
+SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), (x,y) -> x+y))"
+)
+
+
+def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        embeddings_table(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    emb = embeddings_table(spark, sf_dir)
+    return sim.cosine_topk(emb, _qvec(spark, sf_dir), 10, round_dp=RND)
+
+
+SQL_COSINE_TOPK = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id::BIGINT AS vec_id,
+         CASE WHEN {SQL_NORM.format(a='e.embedding')} > 0
+              THEN round({SQL_DOT.format(a='e.embedding', b='q.qv')}
+                   / ({SQL_NORM.format(a='e.embedding')} * {SQL_NORM.format(a='q.qv')}), {RND})
+              ELSE 0.0 END AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank, vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: cosine top-10 within the query's hyperplane
+    bucket (seeded literal planes shared with the SQL oracle)."""
+    emb = embeddings_table(spark, sf_dir)
+    planes = sim.hyperplanes(EMB_DIM)
+    return sim.ann_topk(
+        emb, _qvec(spark, sf_dir), 10, planes=planes, round_dp=RND
+    )
+
+
+def _sql_ann_lsh() -> str:
+    planes = sim.hyperplanes(EMB_DIM)
+    plane_cols = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + f"]::DOUBLE[] AS p{j}"
+        for j, plane in enumerate(planes)
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {SQL_DOT.format(a='e.embedding', b=f'pl.p{j}')} >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(len(planes))
+    )
+    qbucket_terms = " + ".join(
+        f"(CASE WHEN {SQL_DOT.format(a='q.qv', b=f'pl.p{j}')} >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(len(planes))
+    )
+    return f"""WITH pl AS (SELECT {plane_cols}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({qbucket_terms}) AS qbucket, qv FROM q CROSS JOIN pl),
+bucketed AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.embedding, ({bucket_terms}) AS bucket
+  FROM embeddings e CROSS JOIN pl
+),
+scored AS (
+  SELECT b.vec_id,
+         CASE WHEN {SQL_NORM.format(a='b.embedding')} > 0
+              THEN round({SQL_DOT.format(a='b.embedding', b='qb.qv')}
+                   / ({SQL_NORM.format(a='b.embedding')} * {SQL_NORM.format(a='qb.qv')}), {RND})
+              ELSE 0.0 END AS cos
+  FROM bucketed b JOIN qb ON b.bucket = qb.qbucket
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank, vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+# --- RRF hybrid over documents + embeddings ---------------------------------
+
+
+def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """(doc_id, score) raw BM25 over the documents table."""
+    from vexor_spark.operators.postings import term_freqs, tokenize_docs
+    from vexor_spark.operators.scoring import bm25_contribution_col
+
+    docs = docs_table(spark, sf_dir)
+    tokenized = tokenize_docs(docs.select("doc_id", F.col("text").alias("document")))
+    stats = tokenized.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    terms = prepare_query_terms(query)
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens")).join(
+        F.broadcast(qdf), "term"
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "contribution",
+            bm25_contribution_col(
+                F.col("tf").cast("double"),
+                F.col("doc_len").cast("double"),
+                F.col("df").cast("double"),
+                float(n_docs),
+                avgdl,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contribution"), 9).alias("score"))
+    )
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion: dense = embedding cosine vs vec 0 (doc_id = vec_id),
+    lexical = BM25 for the flagship query; fused top-10."""
+    emb = embeddings_table(spark, sf_dir)
+    qv = _qvec(spark, sf_dir)
+    dense_scored = emb.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
+    )
+    dense = dense_rank_df(dense_scored)
+    bm25 = bm25_rank_df(_bm25_scores_docs(spark, sf_dir, FLAGSHIP_QUERY))
+    fused = rrf_fuse_df(dense, bm25).withColumn("fused", F.round("fused", RND))
+    w = Window.orderBy(F.desc("fused"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("fused"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", F.col("doc_id").cast("long").alias("doc_id"), "fused")
+    )
+
+
+def _sql_rrf_hybrid() -> str:
+    terms = prepare_query_terms(FLAGSHIP_QUERY)
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""WITH tok AS ({SQL_TOKS}),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM tok),
+stats AS (SELECT count(*)::BIGINT AS doc_count, avg(doc_len) AS avg_doc_len FROM dl),
+q(term) AS (VALUES {qvals}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM matched GROUP BY term),
+bm25 AS (
+  SELECT m.doc_id, round(sum(
+    ln((s.doc_count - d.df + 0.5) / (d.df + 0.5) + 1.0) * m.tf * 2.5
+    / (m.tf + 1.5 * (0.25 + 0.75 * m.doc_len / s.avg_doc_len))), 9) AS score
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s GROUP BY m.doc_id
+),
+bm25_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+  FROM bm25 WHERE score > 0
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id::BIGINT AS doc_id,
+         CASE WHEN {SQL_NORM.format(a='e.embedding')} > 0
+              THEN {SQL_DOT.format(a='e.embedding', b='qv.v')}
+                   / ({SQL_NORM.format(a='e.embedding')} * {SQL_NORM.format(a='qv.v')})
+              ELSE 0.0 END AS cos
+  FROM embeddings e CROSS JOIN qv
+),
+dense_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS dense_rank FROM dense
+),
+fused AS (
+  SELECT coalesce(d.doc_id, b.doc_id) AS doc_id,
+         round(coalesce(0.7 * 61.0 / (60.0 + d.dense_rank), 0.0)
+             + coalesce(0.3 * 61.0 / (60.0 + b.bm25_rank), 0.0), {RND}) AS fused
+  FROM dense_ranked d FULL OUTER JOIN bm25_ranked b USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY fused DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, fused
+FROM fused ORDER BY fused DESC, doc_id ASC LIMIT 10"""
+
+
+# --- dedup family ------------------------------------------------------------
+
+# Planted-duplicate corpus: every 7th doc duplicated under doc_id+100000.
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_table(spark, sf_dir).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.union(dups)
+
+
+SQL_DUP_DOCS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_dup_docs(spark, sf_dir), "text").select(
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+        "rep_doc_id",
+        "n_docs",
+    )
+
+
+SQL_EXACT_DUP_GROUPS = f"""WITH dd AS ({SQL_DUP_DOCS})
+SELECT {_POLY.format(s='text')} AS fingerprint,
+       min(doc_id)::BIGINT AS rep_doc_id, count(*)::BIGINT AS n_docs
+FROM dd GROUP BY fingerprint"""
+
+
+def _tokenized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dup_docs(spark, sf_dir).select(
+        "doc_id", tokenize_col("text").alias("tokens")
+    )
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_tokenized_dups(spark, sf_dir), "tokens")
+    return sigs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(f"sig_{j}").cast("long").alias(f"sig_{j}") for j in range(8)],
+    )
+
+
+def _sql_minhash_sigs() -> str:
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {HASH_MOD}))::BIGINT AS sig_{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""WITH dd AS ({SQL_DUP_DOCS}),
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks FROM dd),
+{SQL_SHINGLES.strip().rstrip()},
+hs AS (SELECT doc_id, list_transform(shingles, s -> {_POLY.format(s='s')}) AS hashes FROM sh)
+SELECT doc_id::BIGINT AS doc_id,
+       {sig_exprs}
+FROM hs"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = near_dup_pairs(_tokenized_dups(spark, sf_dir), "tokens", threshold=0.8)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", RND).alias("jaccard"),
+    )
+
+
+def _sql_near_dup_pairs() -> str:
+    band_exprs = []
+    for b in range(4):
+        parts = " || ':' || ".join(
+            f"sig_{b * 2 + r}::VARCHAR" for r in range(2)
+        )
+        band_exprs.append(f"'{b}:' || {parts}")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""WITH sigs AS ({_sql_minhash_sigs()}),
+tok2 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks
+  FROM ({SQL_DUP_DOCS})
+),
+sh2 AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 3
+    THEN list_transform(generate_series(1, len(toks)-2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok2
+),
+keyed AS (SELECT doc_id, unnest({bands_list}) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keyed l JOIN keyed r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    (len(list_filter(list_distinct(a.shingles), x -> list_contains(list_distinct(b.shingles), x)))::DOUBLE)
+    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+       - len(list_filter(list_distinct(a.shingles), x -> list_contains(list_distinct(b.shingles), x))))::DOUBLE
+    AS jaccard
+  FROM cand c JOIN sh2 a ON c.doc_a = a.doc_id JOIN sh2 b ON c.doc_b = b.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, round(jaccard, {RND}) AS jaccard
+FROM verified WHERE jaccard >= 0.8"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = docs_table(spark, sf_dir).select(
+        "doc_id", tokenize_col("text").alias("tokens")
+    )
+    return toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash_col(F.col("tokens")).cast("long").alias("simhash"),
+    )
+
+
+def _sql_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(hashes, h -> ((h >> {j}) & 1)*2 - 1),"
+        f" (a,b) -> a+b) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks FROM documents
+),
+hs AS (SELECT doc_id, list_transform(toks, t -> {_POLY.format(s='t')}) AS hashes FROM tok)
+SELECT doc_id::BIGINT AS doc_id, ({bit_terms})::BIGINT AS simhash FROM hs"""
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_table(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ws_token_count_col(F.col("text")).alias("n_ws"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""SELECT doc_id::BIGINT AS doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_ws,
+  len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe
+FROM documents"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_table(spark, sf_dir)
+    toks = tokenize_col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_id_col(toks).alias("lang_pred"),
+    )
+
+
+def _sql_lang_id() -> str:
+    score_defs = ",\n  ".join(
+        f"len(list_filter(toks, t -> list_contains({list(ws)!r}, t)))::BIGINT AS s_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    cases = "\n    ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks FROM documents
+),
+scores AS (
+  SELECT doc_id,
+  {score_defs}
+  FROM tok
+),
+with_best AS (SELECT *, {best} AS best FROM scores)
+SELECT doc_id::BIGINT AS doc_id,
+  CASE {cases}
+    ELSE 'und' END AS lang_pred
+FROM with_best"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_table(spark, sf_dir)
+    toks = tokenize_col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(quality_score_col(toks, F.col("text")), RND).alias("quality"),
+    )
+
+
+def _sql_quality() -> str:
+    stop_hits = " + ".join(
+        f"len(list_filter(toks, t -> list_contains({list(ws)!r}, t)))"
+        for ws in LANG_STOPWORDS.values()
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks)::DOUBLE AS n,
+         ({stop_hits})::DOUBLE AS stop_hits,
+         len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))::DOUBLE AS alpha
+  FROM tok
+)
+SELECT doc_id::BIGINT AS doc_id,
+  round(0.4 * least(n / 50.0, 1.0)
+      + 0.3 * least((CASE WHEN n > 0 THEN stop_hits / n ELSE 0.0 END) / 0.08, 1.0)
+      + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END), {RND}) AS quality
+FROM m"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_table(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fingerprint_col(F.col("text")).cast("long").alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = f"""SELECT doc_id::BIGINT AS doc_id,
+  {_POLY.format(s='text')}::BIGINT AS fingerprint
+FROM documents"""
+
+
+# --- chunking / labels / keywords ---------------------------------------------
+
+CHUNK_SIZE, CHUNK_STRIDE = 100, 90
+
+
+def q_chunk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full-mode sliding windows (size 100, overlap 10) over documents
+    text — JVM expression version of the chunker (reference loop
+    semantics: last window starts at stride·ceil((len−size)/stride))."""
+    d = docs_table(spark, sf_dir)
+    n = F.length("text")
+    max_start = F.when(
+        n > CHUNK_SIZE,
+        (F.floor((n - CHUNK_SIZE + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)) * CHUNK_STRIDE),
+    ).otherwise(F.lit(0)).cast("int")
+    starts = F.sequence(F.lit(0), max_start, F.lit(CHUNK_STRIDE))
+    windows = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.trim(F.col("text").substr(s + 1, F.lit(CHUNK_SIZE))),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    indexed = F.transform(
+        windows,
+        lambda w, i: F.struct(i.cast("long").alias("chunk_index"), w.alias("chunk_text")),
+    )
+    return (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(indexed).alias("c"),
+        )
+        .select("doc_id", F.col("c.chunk_index").alias("chunk_index"), F.col("c.chunk_text").alias("chunk_text"))
+    )
+
+
+SQL_CHUNK_FULL = f"""WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(trim(text)) > 0
+),
+w AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      generate_series(0, CASE WHEN n > {CHUNK_SIZE}
+                            THEN ((n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}) * {CHUNK_STRIDE}
+                            ELSE 0 END, {CHUNK_STRIDE}),
+      s -> trim(substr(text, s + 1, {CHUNK_SIZE}))), x -> length(x) > 0) AS wins
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, u.ci AS chunk_index, u.ct AS chunk_text
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(wins)),
+                               i -> {{'ci': (i-1)::BIGINT, 'ct': wins[i]}})) AS u
+  FROM w
+)"""
+
+
+def q_head_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head-mode label + preview (T4/T6): label = "{source} :: {snippet}",
+    snippet = first 1000 chars; preview trimmed at 160 with '…'."""
+    d = docs_table(spark, sf_dir)
+    snippet = F.trim(F.substring(F.col("text"), 1, 1000))
+    preview = F.when(F.length(snippet) <= 160, snippet).otherwise(
+        F.concat(F.rtrim(F.substring(snippet, 1, 159)), F.lit("…"))
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(" :: ", F.col("source"), snippet).alias("label"),
+        preview.alias("preview"),
+    )
+
+
+SQL_HEAD_LABEL = """WITH s AS (
+  SELECT doc_id, source, trim(substr(text, 1, 1000)) AS snippet FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+  source || ' :: ' || snippet AS label,
+  CASE WHEN length(snippet) <= 160 THEN snippet
+       ELSE rtrim(substr(snippet, 1, 159)) || '…' END AS preview
+FROM s"""
+
+KEYWORD_STOPWORDS = LANG_STOPWORDS["en"] + ("and", "for", "with")
+
+
+def q_keyword_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 keyword summarize (catalog variant): word regex
+    [a-z][a-z0-9_-]+, len ≥ 3, minus stopwords; top 20 by
+    (count desc, term asc)."""
+    d = docs_table(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z][a-z0-9_-]+"), 0)
+    sw = F.array(*[F.lit(w) for w in KEYWORD_STOPWORDS])
+    filtered = F.filter(
+        words, lambda t: (F.length(t) >= 3) & ~F.array_contains(sw, t)
+    )
+    counted = (
+        d.select(F.explode(filtered).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counted.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "term", "cnt")
+    )
+
+
+def _sql_keyword_top20() -> str:
+    return f"""WITH words AS (
+  SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z][a-z0-9_-]+'),
+                t -> length(t) >= 3 AND NOT list_contains({list(KEYWORD_STOPWORDS)!r}, t))) AS term
+  FROM documents
+),
+counted AS (SELECT term, count(*)::BIGINT AS cnt FROM words GROUP BY term)
+SELECT row_number() OVER (ORDER BY cnt DESC, term ASC)::BIGINT AS rank, term, cnt
+FROM counted ORDER BY cnt DESC, term ASC LIMIT 20"""
+
+
+# --- events (window aggregation) ----------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts + value sums per event type — the
+    batch form of the streaming rollup (Structured Streaming uses the
+    same window expression with a watermark)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), RND).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+  count(*)::BIGINT AS n, round(sum(value), {RND}) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+# --- registry -------------------------------------------------------------------
+
+EXT_QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "rrf_hybrid": q_rrf_hybrid,
+    "exact_dup_groups": q_exact_dup_groups,
+    "minhash_sigs": q_minhash_sigs,
+    "near_dup_pairs": q_near_dup_pairs,
+    "simhash": q_simhash,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_fingerprint,
+    "chunk_full": q_chunk_full,
+    "head_label": q_head_label,
+    "keyword_top20": q_keyword_top20,
+    "events_hourly": q_events_hourly,
+}
+
+EXT_ORACLE_SQL = {
+    "cosine_topk": SQL_COSINE_TOPK,
+    "ann_lsh_topk": _sql_ann_lsh(),
+    "rrf_hybrid": _sql_rrf_hybrid(),
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "minhash_sigs": _sql_minhash_sigs(),
+    "near_dup_pairs": _sql_near_dup_pairs(),
+    "simhash": _sql_simhash(),
+    "token_counts": SQL_TOKEN_COUNTS,
+    "lang_id": _sql_lang_id(),
+    "quality_score": _sql_quality(),
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "chunk_full": SQL_CHUNK_FULL,
+    "head_label": SQL_HEAD_LABEL,
+    "keyword_top20": _sql_keyword_top20(),
+    "events_hourly": SQL_EVENTS_HOURLY,
+}
