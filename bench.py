@@ -34,7 +34,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "24000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
 N_SMALL, N_BIG = 8, 32
 
 HEADLINE = [
@@ -64,7 +64,9 @@ def _zip_package(tmp: Path) -> Path:
     return zpath
 
 
-def _run_build(master: str, pages: int, zpath: Path, workdir: Path, queries: int) -> dict:
+def _run_build(
+    master: str, pages: int, zpath: Path, workdir: Path, queries: int, pages_dir: Path
+) -> dict:
     cmd = [
         "spark-submit",
         "--master",
@@ -82,6 +84,8 @@ def _run_build(master: str, pages: int, zpath: Path, workdir: Path, queries: int
         str(pages),
         "--workdir",
         str(workdir),
+        "--pages-dir",
+        str(pages_dir),
         "--queries",
         str(queries),
     ]
@@ -131,11 +135,14 @@ def main() -> None:
         tmp = Path(tempfile.mkdtemp(prefix="vexor_bench_"))
         try:
             zpath = _zip_package(tmp)
+            pages_dir = tmp / "pages"
             small = _run_build(
-                f"local[{N_SMALL}]", BENCH_PAGES, zpath, tmp / "n_small", queries=0
+                f"local[{N_SMALL}]", BENCH_PAGES, zpath, tmp / "n_small",
+                queries=0, pages_dir=pages_dir,
             )
             big = _run_build(
-                f"local[{N_BIG}]", BENCH_PAGES, zpath, tmp / "n_big", queries=30
+                f"local[{N_BIG}]", BENCH_PAGES, zpath, tmp / "n_big",
+                queries=30, pages_dir=pages_dir,
             )
             eff = big["docs_per_sec"] / (
                 (N_BIG / N_SMALL) * small["docs_per_sec"]

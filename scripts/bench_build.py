@@ -30,6 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=20000)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--pages-dir", default=None, help="shared corpus dir (generated once)")
+    ap.add_argument("--gen-partitions", type=int, default=64)
     ap.add_argument("--queries", type=int, default=30)
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--term-buckets", type=int, default=64)
@@ -42,16 +44,23 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     work = Path(args.workdir or tempfile.mkdtemp(prefix="vexor_bench_"))
     work.mkdir(parents=True, exist_ok=True)
-    pages_path = work / "pages"
+    pages_path = Path(args.pages_dir) if args.pages_dir else work / "pages"
     idx_path = work / "index"
 
-    # corpus materialization (untimed)
+    # corpus materialization (untimed; fixed partition count so both
+    # cluster sizes read identically-split input)
     if not (pages_path / "_SUCCESS").exists():
-        generate_pages_df(spark, args.pages, edges=False).write.mode("overwrite").parquet(
-            str(pages_path)
-        )
+        generate_pages_df(
+            spark, args.pages, edges=False, partitions=args.gen_partitions
+        ).write.mode("overwrite").parquet(str(pages_path))
 
     pages = spark.read.parquet(str(pages_path))
+
+    # warmup (untimed): run the whole pipeline on a small slice to pay
+    # codegen + Python-worker + Arrow startup before the clock starts.
+    warm_idx = build_index(pages.limit(256), salt_partitions=2, term_buckets=8)
+    warm_idx.docs.unpersist()
+    warm_idx.postings.unpersist()
 
     t0 = time.time()
     index = build_index(

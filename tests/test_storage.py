@@ -65,10 +65,30 @@ def test_empty_and_cjk_queries(persisted):
 
 def test_partition_pruning_in_plan(persisted):
     idx, _, _ = persisted
-    plan = idx._matched(["spark", "uid_000042"])._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        idx._matched_blocks(["spark", "uid_000042"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # The parquet scan must carry a PartitionFilters entry on term_bucket.
     assert "term_bucket" in plan
     assert "PartitionFilters: []" not in plan
+
+
+@pytest.mark.parametrize("qi", [0, 7, 13, 22])
+def test_pruned_scoring_exact(persisted, qi):
+    """Block-max pruned distributed scoring == unpruned == oracle."""
+    idx, oracle, _ = persisted
+    q = query_suite(N_PAGES)[qi]["query"]
+    want = pyref.search(oracle, q, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_distributed(q, k=10, prune=True).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
 
 
 def test_decorated_results(persisted):

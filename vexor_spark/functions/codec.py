@@ -152,6 +152,50 @@ def make_block_max_udf(avg_doc_len: float, block_size: int = POSTING_BLOCK_SIZE)
     return block_max
 
 
+BLOCK_STRUCT = StructType(
+    [
+        StructField("block_id", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("block_first", LongType()),
+        StructField("block_last", LongType()),
+        StructField("block_ub", DoubleType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+
+def make_encode_blocks_udf(avg_doc_len: float, block_size: int = POSTING_BLOCK_SIZE):
+    """array<posting> → array<block struct>: the sorted list is cut into
+    fixed-size blocks, each independently delta-gap+varint encoded with
+    its doc-id range and max contribution kernel — the unit of block-max
+    pruning (a pruned block is never even decoded)."""
+
+    @F.pandas_udf(ArrayType(BLOCK_STRUCT))
+    def encode_blocks(postings: pd.Series) -> pd.Series:
+        def one(plist) -> list[dict]:
+            out = []
+            for bi in range(0, len(plist), block_size):
+                block = plist[bi : bi + block_size]
+                out.append(
+                    {
+                        "block_id": bi // block_size,
+                        "n": len(block),
+                        "block_first": int(block[0]["doc_id"]),
+                        "block_last": int(block[-1]["doc_id"]),
+                        "block_ub": max(
+                            tf_norm_kernel(float(p["tf"]), float(p["doc_len"]), avg_doc_len)
+                            for p in block
+                        ),
+                        "blob": encode_posting_list(block),
+                    }
+                )
+            return out
+
+        return postings.map(one)
+
+    return encode_blocks
+
+
 def max_kernel_col(avg_doc_len: float) -> Column:
     """Per-term global max of the contribution kernel, computed JVM-side
     over the postings array (used for max-score pruning bounds)."""

@@ -62,8 +62,13 @@ class InMemoryIndex:
 
 
 def build_docs(pages: DataFrame) -> DataFrame:
-    """pages → per-chunk doc table with deterministic doc ids + tokens."""
-    chunks = chunk_pages(pages)
+    """pages → per-chunk doc table with deterministic doc ids + tokens.
+
+    Chunks are persisted before id assignment: repartitionByRange's
+    boundary-sampling pass would otherwise re-run the (Python-heavy)
+    chunk UDF a second time.
+    """
+    chunks = chunk_pages(pages).persist()
     with_ids = assign_doc_ids(chunks, ["url", "chunk_index"])
     return tokenize_docs(with_ids, "document")
 

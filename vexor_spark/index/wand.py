@@ -1,0 +1,170 @@
+"""Block-max pruned BM25 scoring — exact top-k, batch (DataFrame) form
+of block-max WAND (SURVEY §4.2; Ding & Suel's block-max indexes adapted
+to a shuffle engine: documents are pruned, contributions never are).
+
+Notation: for query term t, ub_t = idf_t · max_kernel_t upper-bounds
+any single contribution of t; for block b of t, bub_{t,b} = idf_t ·
+block_ub_b upper-bounds contributions inside the block.
+
+Exactness argument:
+1. θ (threshold) is a LOWER bound on the true k-th best full score:
+   θ = the k-th largest single-term contribution within the list of the
+   highest-ub term t*. Any k docs from that list have full scores ≥
+   their t*-contributions, so at least k docs have full score ≥ θ.
+2. Candidate generation: doc d (containing query-term set S) satisfies
+   score(d) ≤ bub_{t,b(d)} + Σ_{t'≠t} ub_{t'} for EVERY t ∈ S. So if d
+   appears in no block passing `bub_{t,b} + (Σub − ub_t) ≥ θ`, then
+   score(d) < θ ≤ k-th best ⇒ d is not in the top-k. Candidates =
+   union of docs in passing blocks — a superset of the top-k.
+3. Exact rescore: every block that either passes the bound test or
+   whose [block_first, block_last] range contains a candidate is
+   decoded; exploded rows are semi-joined to the candidate set before
+   the aggregation, so every candidate's every contribution is counted
+   and nothing else reaches the shuffle.
+
+What pruning buys at scale: head (high-df) terms have low idf ⇒ low
+ub ⇒ their tail blocks fail the bound test; their rows are dropped at
+the *block* level (never decoded) unless a candidate lives inside —
+the shuffle/aggregate volume collapses from Σ|postings| to ~|candidates|·|q|.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vexor_spark.functions.codec import decode_postings_udf
+from vexor_spark.operators.scoring import bm25_contribution_col
+
+# If candidate generation exceeds this, fall back to unpruned scoring
+# (collecting a huge candidate set to the driver would be the real cost).
+MAX_CANDIDATES = 200_000
+
+
+def _idf(df: int, n: int) -> float:
+    return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
+    """(doc_id, score) for the matched docs that can reach the top-k —
+    exact scores (equal to the unpruned path) for every returned doc
+    that belongs to the true top-k."""
+    spark = pidx.spark
+    n, avgdl = pidx.doc_count, pidx.avg_doc_len
+
+    tdict = pidx.term_dict(terms)  # {term: (df, max_kernel)} — pyarrow, tiny
+    present = [t for t in terms if t in tdict]
+    if not present:
+        return spark.createDataFrame([], "doc_id long, score double")
+    ub = {t: _idf(tdict[t][0], n) * tdict[t][1] for t in present}
+    total_ub = sum(ub.values())
+
+    blocks = pidx._matched_blocks(present)
+
+    # --- θ pass: k-th best single-term contribution of the highest-ub term
+    t_star = max(present, key=lambda t: ub[t])
+    # bm25_contribution_col already includes idf(df): passing t*'s df
+    # yields exactly that term's contribution per posting.
+    star_contrib = (
+        blocks.filter(F.col("term") == t_star)
+        .select(F.explode(decode_postings_udf("blob")).alias("p"))
+        .select(
+            bm25_contribution_col(
+                F.col("p.tf").cast("double"),
+                F.col("p.doc_len").cast("double"),
+                F.lit(float(tdict[t_star][0])),
+                float(n),
+                float(avgdl),
+            ).alias("c")
+        )
+        .orderBy(F.desc("c"))
+        .limit(k)
+        .collect()
+    )
+    theta = star_contrib[-1]["c"] if len(star_contrib) >= k else 0.0
+    if theta <= 0.0:
+        return pidx._score_blocks(blocks)
+
+    # --- candidate pass: docs in blocks whose bound can reach θ
+    rest_ub = {t: total_ub - ub[t] for t in present}
+    idf_map = {t: _idf(tdict[t][0], n) for t in present}
+    bound_df = spark.createDataFrame(
+        [(t, idf_map[t], rest_ub[t]) for t in present],
+        "term string, idf double, rest_ub double",
+    )
+    bounded = blocks.join(F.broadcast(bound_df), "term").withColumn(
+        "passes",
+        F.col("idf") * F.col("block_ub") + F.col("rest_ub") >= F.lit(theta),
+    )
+    bounded = bounded.persist()
+    try:
+        candidates_rows = (
+            bounded.filter("passes")
+            .select(F.explode(decode_postings_udf("blob")).alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"))
+            .distinct()
+            .limit(MAX_CANDIDATES + 1)
+            .collect()
+        )
+        if len(candidates_rows) > MAX_CANDIDATES:
+            return pidx._score_blocks(blocks)
+        candidates = sorted(r["doc_id"] for r in candidates_rows)
+        if not candidates:
+            return spark.createDataFrame([], "doc_id long, score double")
+
+        # --- exact rescore: decode passing blocks + any block whose doc-id
+        # range contains a candidate (so candidates' contributions from
+        # "failed" blocks are still counted)
+        cand_arr = F.array(*[F.lit(int(c)) for c in candidates]) if len(candidates) <= 1000 else None
+        if cand_arr is not None:
+            contains_cand = (
+                F.size(
+                    F.filter(
+                        cand_arr,
+                        lambda c: (c >= F.col("block_first")) & (c <= F.col("block_last")),
+                    )
+                )
+                > 0
+            )
+        else:
+            # large candidate sets: join block ranges against a candidate DF
+            contains_cand = None
+        if contains_cand is not None:
+            needed = bounded.filter(F.col("passes") | contains_cand)
+        else:
+            cdf = spark.createDataFrame([(int(c),) for c in candidates], "cand long")
+            hit = (
+                bounded.join(
+                    F.broadcast(cdf),
+                    (F.col("cand") >= F.col("block_first"))
+                    & (F.col("cand") <= F.col("block_last")),
+                    "left_semi",
+                )
+            )
+            needed = bounded.filter("passes").unionByName(hit).dropDuplicates(
+                ["term", "block_id"]
+            )
+
+        cset_df = spark.createDataFrame([(int(c),) for c in candidates], "doc_id long")
+        exploded = needed.select(
+            F.col("df").cast("double").alias("df"),
+            F.explode(decode_postings_udf("blob")).alias("p"),
+        ).select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").cast("double").alias("tf"),
+            F.col("p.doc_len").cast("double").alias("doc_len"),
+            "df",
+        )
+        contrib = bm25_contribution_col(
+            F.col("tf"), F.col("doc_len"), F.col("df"), float(n), float(avgdl)
+        )
+        return (
+            exploded.join(F.broadcast(cset_df), "doc_id", "left_semi")
+            .withColumn("contribution", contrib)
+            .groupBy("doc_id")
+            .agg(F.sum("contribution").alias("score"))
+        )
+    finally:
+        bounded.unpersist()
