@@ -1,0 +1,41 @@
+"""Eval harness over the 30-query suite (SURVEY §5 item 4)."""
+
+from __future__ import annotations
+
+from vexor_spark.eval import evaluate
+from vexor_spark.index.build import build_index
+from vexor_spark.sources.corpus import generate_pages_df, query_suite
+
+N_PAGES = 60
+
+
+def test_eval_metrics(spark):
+    pages = generate_pages_df(spark, N_PAGES, edges=True, partitions=4)
+    index = build_index(pages, salt_partitions=2, term_buckets=8)
+    queries = query_suite(N_PAGES)[:12]  # subset for test runtime
+    metrics = evaluate(index, queries)
+
+    assert set(metrics) == {"off", "bm25", "hybrid"}
+    for arm, m in metrics.items():
+        assert 0.0 <= m["mrr@10"] <= 1.0
+        assert m["hit@1"] <= m["hit@5"] <= 1.0
+        assert m["n"] > 0
+    # The `bm25` arm reranks DENSE candidates (clamp 20) — with the
+    # intentionally weak letter-count dense leg (reference DummyBackend
+    # behavior) it cannot recover docs outside the candidate set, so no
+    # absolute quality bar applies to it. The hybrid arm fuses the
+    # full-corpus BM25 ranking, which must not lose to dense-only.
+    assert metrics["hybrid"]["mrr@10"] >= metrics["off"]["mrr@10"] - 0.05
+
+    # Full-corpus BM25 (the primary arm) must nail unique identifiers.
+    from vexor_spark.sources.corpus import page_record
+
+    hits = 0
+    uid_queries = [q for q in queries if q["query"].startswith("uid_")][:5]
+    for q in uid_queries:
+        rows = index.search(q["query"], k=1).collect()
+        hits += 1 if rows and rows[0]["url"] == q["expected"] else 0
+    if uid_queries:
+        assert hits == len(uid_queries)
+    index.docs.unpersist()
+    index.postings.unpersist()

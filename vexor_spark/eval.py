@@ -1,0 +1,78 @@
+"""Retrieval-quality evaluation — the reference's eval harness
+(scripts/eval_hybrid.py:59-76, 108-139) over the synthetic query suite:
+arms `off` (dense only), `bm25` (legacy weighted rerank), `hybrid`
+(RRF fusion); metrics MRR@10, Hit@1, Hit@5.
+
+Rank of the expected url = position of its FIRST chunk in the result
+list (the reference resolves results to relative paths and takes the
+first match, eval_hybrid.py:49-76).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vexor_spark.index.build import InMemoryIndex
+from vexor_spark.retrieval import dense_scores, hybrid_search, weighted_rerank_search
+
+ARMS = ("off", "bm25", "hybrid")
+
+
+def _ranked_urls(index: InMemoryIndex, arm: str, query: str, top: int) -> list[str]:
+    if arm == "off":
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
+        ranked = (
+            dense_scores(index.docs, query)
+            .orderBy(F.desc("dense_score"), F.asc("doc_id"))
+            .limit(top)
+            .withColumn("rank", F.row_number().over(w))
+        )
+    elif arm == "bm25":
+        ranked = weighted_rerank_search(index, query, top)
+    elif arm == "hybrid":
+        ranked = hybrid_search(index, query, top)
+    else:
+        raise ValueError(arm)
+    rows = (
+        ranked.join(index.docs.select("doc_id", "url"), "doc_id")
+        .orderBy("rank")
+        .select("url")
+        .collect()
+    )
+    return [r["url"] for r in rows]
+
+
+def evaluate(
+    index: InMemoryIndex,
+    queries: list[dict],
+    *,
+    arms: tuple[str, ...] = ARMS,
+    top: int = 10,
+) -> dict:
+    """{arm: {mrr@10, hit@1, hit@5, n}} over (query, expected-url) pairs;
+    queries with expected=None are skipped (they test edge behavior,
+    not ranking quality)."""
+    scored = [q for q in queries if q.get("expected")]
+    out: dict = {}
+    for arm in arms:
+        rr_sum = hit1 = hit5 = 0
+        for q in scored:
+            urls = _ranked_urls(index, arm, q["query"], top)
+            try:
+                rank = urls.index(q["expected"]) + 1
+            except ValueError:
+                rank = None
+            if rank is not None:
+                rr_sum += 1.0 / rank
+                hit1 += 1 if rank == 1 else 0
+                hit5 += 1 if rank <= 5 else 0
+        n = len(scored)
+        out[arm] = {
+            "mrr@10": round(rr_sum / n, 4) if n else 0.0,
+            "hit@1": round(hit1 / n, 4) if n else 0.0,
+            "hit@5": round(hit5 / n, 4) if n else 0.0,
+            "n": n,
+        }
+    return out

@@ -61,15 +61,18 @@ class InMemoryIndex:
         )
 
 
-def build_docs(pages: DataFrame) -> DataFrame:
+def build_docs(pages: DataFrame, persisted_out: list | None = None) -> DataFrame:
     """pages → per-chunk doc table with deterministic doc ids + tokens.
 
     Chunks are persisted before id assignment: repartitionByRange's
     boundary-sampling pass would otherwise re-run the (Python-heavy)
-    chunk UDF a second time.
+    chunk UDF a second time. Persisted intermediates are appended to
+    persisted_out for caller-side cleanup.
     """
     chunks = chunk_pages(pages).persist()
-    with_ids = assign_doc_ids(chunks, ["url", "chunk_index"])
+    if persisted_out is not None:
+        persisted_out.append(chunks)
+    with_ids = assign_doc_ids(chunks, ["url", "chunk_index"], persisted_out=persisted_out)
     return tokenize_docs(with_ids, "document")
 
 
@@ -80,7 +83,8 @@ def build_index(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     cache: bool = True,
 ) -> InMemoryIndex:
-    docs = build_docs(pages)
+    intermediates: list[DataFrame] = []
+    docs = build_docs(pages, persisted_out=intermediates)
     doc_table = docs.select(
         "doc_id", "url", "chunk_index", "label", "preview",
         "start_line", "end_line", "doc_len",
@@ -95,6 +99,14 @@ def build_index(
         postings = postings.persist()
     stats = corpus_stats(doc_table.select("doc_id", "doc_len"))
     row = stats.collect()[0]
+    if cache:
+        # Materialize the persisted outputs, then release the upstream
+        # intermediates (chunks / id-assignment shuffle) — otherwise they
+        # pin memory for the session AND make repeat builds silently
+        # reuse the cache (Spark's CacheManager matches canonical plans).
+        postings.count()
+        for df in intermediates:
+            df.unpersist()
     return InMemoryIndex(
         docs=doc_table,
         postings=postings,

@@ -169,7 +169,8 @@ def finalize_index(
     chunks = chunks.withColumn(
         "document", F.concat_ws(" ", F.col("url"), F.col("label"))
     )
-    with_ids = assign_doc_ids(chunks, ["url", "chunk_index"])
+    intermediates: list = []
+    with_ids = assign_doc_ids(chunks, ["url", "chunk_index"], persisted_out=intermediates)
     docs = tokenize_docs(with_ids, "document")
     doc_table = docs.select(
         "doc_id", "url", "chunk_index", "label", "preview",
@@ -183,6 +184,10 @@ def finalize_index(
         postings = postings.persist()
     stats = corpus_stats(doc_table.select("doc_id", "doc_len"))
     row = stats.collect()[0]
+    if cache:
+        postings.count()
+    for df in intermediates:
+        df.unpersist()
     _append_metrics(
         work_dir,
         {

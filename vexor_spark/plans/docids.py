@@ -32,7 +32,11 @@ def assign_doc_ids(
     *,
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
+    """persisted_out: if given, the internally persisted intermediate is
+    appended so the caller can unpersist it once downstream results are
+    materialized (otherwise it lives until session end)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
@@ -41,6 +45,8 @@ def assign_doc_ids(
     # Persist: the counts pass and the downstream pass must see the same
     # rows/partitioning without re-running the (UDF-heavy) upstream twice.
     local = with_pid.withColumn("_rn", F.row_number().over(w)).persist()
+    if persisted_out is not None:
+        persisted_out.append(local)
     # One row per partition — tiny driver-side cumulative sum.
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
     offsets = {}
