@@ -34,7 +34,8 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 N_SMALL, N_BIG = 8, 32
 
 HEADLINE = [
@@ -88,6 +89,8 @@ def _run_build(
         str(pages_dir),
         "--queries",
         str(queries),
+        "--repeats",
+        str(BENCH_REPEATS),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     m = re.search(r"BENCH_BUILD (\{.*\})", proc.stdout)

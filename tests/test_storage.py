@@ -50,6 +50,13 @@ def test_both_query_paths_rank_identical(persisted, qi):
     for (_, gd, gs), (wd, ws) in zip(got_local, want):
         assert gs == pytest.approx(ws, rel=1e-9)
 
+    # pruned local path (default) == naive local decode-everything path
+    # (scores sum in different term order → approx, ids exact)
+    got_naive = idx.search_local(q, k=10, prune=False)
+    assert [d for _, d, _ in got_local] == [d for _, d, _ in got_naive], q
+    for (_, _, gs), (_, _, ns) in zip(got_local, got_naive):
+        assert gs == pytest.approx(ns, rel=1e-12)
+
     got_dist = [(r["doc_id"], r["score"]) for r in idx.search_distributed(q, k=10).collect()]
     assert [d for d, _ in got_dist] == [d for d, _ in want], q
     for (gd, gs), (wd, ws) in zip(got_dist, want):

@@ -61,7 +61,9 @@ class InMemoryIndex:
         )
 
 
-def build_docs(pages: DataFrame, persisted_out: list | None = None) -> DataFrame:
+def build_docs(
+    pages: DataFrame, persisted_out: list | None = None, *, mode: str = "full"
+) -> DataFrame:
     """pages → per-chunk doc table with deterministic doc ids + tokens.
 
     Chunks are persisted before id assignment: repartitionByRange's
@@ -69,7 +71,7 @@ def build_docs(pages: DataFrame, persisted_out: list | None = None) -> DataFrame
     chunk UDF a second time. Persisted intermediates are appended to
     persisted_out for caller-side cleanup.
     """
-    chunks = chunk_pages(pages).persist()
+    chunks = chunk_pages(pages, mode=mode).persist()
     if persisted_out is not None:
         persisted_out.append(chunks)
     with_ids = assign_doc_ids(chunks, ["url", "chunk_index"], persisted_out=persisted_out)
@@ -82,9 +84,10 @@ def build_index(
     salt_partitions: int = DEFAULT_SALT_PARTITIONS,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     cache: bool = True,
+    mode: str = "full",
 ) -> InMemoryIndex:
     intermediates: list[DataFrame] = []
-    docs = build_docs(pages, persisted_out=intermediates)
+    docs = build_docs(pages, persisted_out=intermediates, mode=mode)
     doc_table = docs.select(
         "doc_id", "url", "chunk_index", "label", "preview",
         "start_line", "end_line", "doc_len",

@@ -61,6 +61,22 @@ from vexor_spark.operators.scoring import (
 FORMAT_VERSION = 2  # plays the role of CACHE_VERSION (vexor/cache.py:28)
 
 
+def _topk_np(ids, scores, k: int) -> list[tuple[int, int, float]]:
+    """[(rank, doc_id, score)] by (score desc, doc_id asc) — the
+    argpartition-then-sort trick (search_service.py:176-182)."""
+    import numpy as np
+
+    if len(ids) == 0:
+        return []
+    if k < len(ids):
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= kth)  # includes ALL kth-score ties
+    else:
+        cand = np.arange(len(ids))
+    order = sorted(cand.tolist(), key=lambda i: (-scores[i], ids[i]))[:k]
+    return [(r + 1, int(ids[i]), float(scores[i])) for r, i in enumerate(order)]
+
+
 def term_buckets_for(spark: SparkSession, terms: list[str], term_buckets: int) -> dict[str, int]:
     """Buckets for query terms — pure-Python XXH64 (verified identical to
     Spark's xxhash64, test_hashing.py), no JVM round-trip."""
@@ -165,28 +181,151 @@ class PersistedIndex:
 
     # --- query paths --------------------------------------------------------
 
-    def search_local(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
-        """[(rank, doc_id, score)] — zero-Spark-job serving path."""
-        from vexor_spark.functions.codec import decode_posting_list
+    def search_local(
+        self, query: str, k: int = 10, *, prune: bool = True
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, doc_id, score)] — zero-Spark-job serving path.
 
+        prune=True runs exact term-at-a-time max-score pruning with
+        block skipping (see _search_local_pruned); prune=False decodes
+        every matched list (the reference's own flow,
+        vexor/cache.py:1492-1535 → bm25.score_postings) — kept for
+        equivalence testing.
+        """
         terms = prepare_query_terms(query)
         if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:
             return []
-        tbl = self._arrow_read("postings", terms, ["term", "block_id", "blob"])
-        by_term: dict[str, list[tuple[int, bytes]]] = {}
-        for t, bid, blob in zip(
+        tbl = self._arrow_read(
+            "postings",
+            terms,
+            ["term", "df", "block_id", "block_first", "block_last",
+             "block_ub", "n", "blob"],
+        )
+        by_term: dict[str, list] = {}
+        dfs: dict[str, int] = {}
+        for t, df_, bid, bf, bl, bub, n_, blob in zip(
             tbl.column("term").to_pylist(),
+            tbl.column("df").to_pylist(),
             tbl.column("block_id").to_pylist(),
+            tbl.column("block_first").to_pylist(),
+            tbl.column("block_last").to_pylist(),
+            tbl.column("block_ub").to_pylist(),
+            tbl.column("n").to_pylist(),
             tbl.column("blob").to_pylist(),
         ):
-            by_term.setdefault(t, []).append((bid, blob))
-        postings = {
-            t: [p for _, blob in sorted(blocks) for p in decode_posting_list(blob)]
-            for t, blocks in by_term.items()
+            by_term.setdefault(t, []).append((bid, bf, bl, bub, int(n_), blob))
+            dfs[t] = int(df_)
+        for blocks in by_term.values():
+            blocks.sort()
+        if prune:
+            ids, scores = self._search_local_pruned(terms, by_term, dfs, k)
+        else:
+            ids, scores = self._score_all_np(terms, by_term, dfs)
+        return _topk_np(ids, scores, k)
+
+    def _term_contribs(self, term: str, blocks: list, dfs: dict[str, int]):
+        """Decode a term's blocks (ONE batch numpy pass over all blobs)
+        → (doc_ids, contributions)."""
+        import math
+
+        import numpy as np
+
+        from vexor_spark.constants import BM25_B, BM25_K1
+        from vexor_spark.functions.codec import decode_blocks_np
+
+        n, avgdl = self.doc_count, self.avg_doc_len
+        idf = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1.0)
+        ids, tfs, dls = decode_blocks_np([b[5] for b in blocks], [b[4] for b in blocks])
+        tfs = tfs.astype(np.float64)
+        denom = tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl)
+        return ids, idf * tfs * (BM25_K1 + 1.0) / denom
+
+    def _score_all_np(self, terms: list[str], by_term: dict, dfs: dict[str, int]):
+        """Vectorized decode+score of every matched list (exact
+        score_postings semantics, bm25.py:64-89)."""
+        import numpy as np
+
+        id_parts, c_parts = [], []
+        for t in terms:
+            if t not in by_term:
+                continue
+            ids, cs = self._term_contribs(t, by_term[t], dfs)
+            id_parts.append(ids)
+            c_parts.append(cs)
+        if not id_parts:
+            return np.array([], np.int64), np.array([], np.float64)
+        all_ids = np.concatenate(id_parts)
+        all_cs = np.concatenate(c_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.float64)
+        np.add.at(sums, inv, all_cs)
+        return uniq, sums
+
+    def _search_local_pruned(
+        self,
+        terms: list[str],
+        by_term: dict[str, list],
+        dfs: dict[str, int],
+        k: int,
+    ):
+        """Exact TAAT max-score: process terms in descending upper-bound
+        order, accumulating full contributions (vectorized); once the
+        summed upper bound of unprocessed terms drops strictly below the
+        k-th best partial sum, no unseen doc can reach the top-k — the
+        accumulator id set freezes, and remaining (head) terms decode
+        only blocks whose doc-id range intersects it, keeping only
+        frozen ids. Partial sums lower-bound final scores, so the
+        threshold is valid; frozen docs still receive every remaining
+        contribution ⇒ returned scores are exact, and excluded docs are
+        provably outside the top-k.
+        """
+        import math
+
+        import numpy as np
+
+        n = self.doc_count
+        idf = {
+            t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            for t in terms
+            if t in by_term
         }
-        scores = score_postings_local(terms, postings, self.doc_count, self.avg_doc_len)
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        return [(i + 1, doc, s) for i, (doc, s) in enumerate(ranked)]
+        ub = {t: idf[t] * max(b[3] for b in by_term[t]) for t in idf}
+        order = sorted(idf, key=lambda t: -ub[t])
+        remaining = sum(ub.values())
+
+        acc_ids = np.array([], np.int64)
+        acc_sums = np.array([], np.float64)
+        frozen: np.ndarray | None = None
+
+        for t in order:
+            remaining -= ub[t]
+            blocks = by_term[t]
+            if frozen is not None:
+                # keep only blocks whose doc-id range contains a frozen id
+                blocks = [
+                    b
+                    for b in blocks
+                    if (lo := np.searchsorted(frozen, b[1])) < len(frozen)
+                    and frozen[lo] <= b[2]
+                ]
+                if not blocks:
+                    continue
+            ids, cs = self._term_contribs(t, blocks, dfs)
+            if frozen is not None:
+                pos = np.searchsorted(frozen, ids)
+                mask = (pos < len(frozen)) & (frozen[np.minimum(pos, len(frozen) - 1)] == ids)
+                ids, cs = ids[mask], cs[mask]
+            # merge into accumulators
+            merged = np.concatenate([acc_ids, ids])
+            merged_c = np.concatenate([acc_sums, cs])
+            acc_ids, inv = np.unique(merged, return_inverse=True)
+            acc_sums = np.zeros(len(acc_ids), np.float64)
+            np.add.at(acc_sums, inv, merged_c)
+            if frozen is None and len(acc_ids) >= k:
+                theta = np.partition(acc_sums, len(acc_sums) - k)[len(acc_sums) - k]
+                if remaining < theta:
+                    frozen = acc_ids.copy()
+        return acc_ids, acc_sums
 
     def _score_blocks(self, blocks: DataFrame) -> DataFrame:
         """blocks (term, df, blob, ...) → (doc_id, score)."""

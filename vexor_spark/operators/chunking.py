@@ -94,48 +94,183 @@ def _page_name(url: str) -> str:
     return seg or url
 
 
+# --- head/brief mode primitives (exact reference semantics) ----------------
+
+HEAD_CHAR_LIMIT = 1000
+BRIEF_CHAR_LIMIT = 4000
+BRIEF_KEYWORD_LIMIT = 20
+BRIEF_PREVIEW_LIMIT = 10
+AUTO_FULL_MAX_BYTES = 10_000
+
+_WORD_RE = __import__("re").compile(r"[A-Za-z][A-Za-z0-9_-]+")
+_CJK_RE = __import__("re").compile(r"[一-鿿]{2,}")
+# keyword_service.py:17-64 stopword sets, verbatim semantics
+_STOPWORDS = {
+    "the", "and", "for", "are", "with", "this", "that", "from", "have",
+    "will", "should", "must", "need", "user", "users", "data", "when",
+    "your", "their", "about", "into", "which", "within", "where",
+    "while", "there", "only", "each", "more", "than", "also", "such",
+    "shall", "can", "may", "our", "per", "any", "all", "like", "been",
+    "over", "ensure", "including", "include",
+}
+_STOPWORDS_ZH = {"的", "了", "和", "或", "及", "需要", "支持", "功能", "用户", "系统"}
+
+
+def _cleanup_snippet(snippet: str) -> str | None:
+    """content_extract_service.py:876-879."""
+    lines = [line.strip() for line in snippet.splitlines() if line.strip()]
+    joined = " ".join(lines)
+    return joined or None
+
+
+def _decode_head(data: bytes | None, char_limit: int) -> str | None:
+    """_read_text_head UTF-8 arm: decode+cap, then cleanup
+    (content_extract_service.py:701-723)."""
+    import codecs
+
+    if data is None:
+        return None
+    capped = data[: char_limit * 4]
+    try:
+        text = codecs.getincrementaldecoder("utf-8")().decode(capped, final=False)
+    except UnicodeDecodeError:
+        return None
+    if text == "":
+        return None
+    return _cleanup_snippet(text[:char_limit])
+
+
+def _extract_keywords(text: str, limit: int = BRIEF_KEYWORD_LIMIT) -> list[str]:
+    """keyword_service.py:77-107 verbatim semantics: lowercased word
+    counts (len>=3, minus stopwords) + CJK runs, top-N by frequency with
+    first-seen display form and insertion-ordered ties."""
+    from collections import Counter
+
+    display_map: dict[str, str] = {}
+    counter: Counter = Counter()
+    for match in _WORD_RE.finditer(text):
+        raw = match.group(0)
+        key = raw.lower()
+        if len(key) < 3 or key in _STOPWORDS:
+            continue
+        counter[key] += 1
+        display_map.setdefault(key, raw)
+    for match in _CJK_RE.finditer(text):
+        token = match.group(0)
+        if token in _STOPWORDS_ZH:
+            continue
+        counter[token] += 1
+        display_map.setdefault(token, token)
+    return [display_map.get(k, k) for k, _ in counter.most_common(limit)]
+
+
+def chunk_page_py(
+    url: str,
+    data: bytes | None,
+    *,
+    mode: str = "full",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+    char_limit: int = FULL_CHAR_LIMIT,
+) -> list[dict]:
+    """One page → payloads for the given indexing mode (SURVEY §2.8).
+
+    Modes: full (vexor/modes.py:81-124), head (:61-75), name (:49-58),
+    brief (:269-293), auto (:230-266 — web pages have no code/markdown
+    suffixes, so auto routes by size: ≤10 000 bytes → full, else head).
+    """
+    name = _page_name(url)
+
+    def name_fallback() -> list[dict]:
+        return [
+            {
+                "chunk_index": 0,
+                "label": name.replace("_", " "),
+                "preview": name,
+                "start_line": None,
+                "end_line": None,
+            }
+        ]
+
+    if mode == "auto":
+        size = len(data) if data is not None else 0
+        mode = "full" if size <= AUTO_FULL_MAX_BYTES else "head"
+
+    if mode == "name":
+        return name_fallback()
+
+    if mode == "head":
+        snippet = _decode_head(data, HEAD_CHAR_LIMIT)
+        if snippet:
+            return [
+                {
+                    "chunk_index": 0,
+                    "label": f"{name} :: {snippet}",
+                    "preview": _trim_preview(snippet),
+                    "start_line": None,
+                    "end_line": None,
+                }
+            ]
+        return name_fallback()
+
+    if mode == "brief":
+        snippet = _decode_head(data, BRIEF_CHAR_LIMIT)
+        keywords = _extract_keywords(snippet, BRIEF_KEYWORD_LIMIT) if snippet else []
+        if keywords:
+            preview_tokens = keywords[:BRIEF_PREVIEW_LIMIT]
+            return [
+                {
+                    "chunk_index": 0,
+                    "label": f"{name} :: {' '.join(preview_tokens)}",
+                    "preview": ", ".join(preview_tokens),
+                    "start_line": None,
+                    "end_line": None,
+                }
+            ]
+        return name_fallback()
+
+    if mode != "full":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    text = extract_text_py(data, char_limit)
+    payloads: list[dict] = []
+    if text is not None:
+        for cleaned, start_line, end_line in _full_chunks(text, chunk_size, overlap):
+            normalized = _normalize_preview_chunk(cleaned)
+            if not normalized:
+                continue
+            payloads.append(
+                {
+                    "chunk_index": len(payloads),
+                    # vexor/modes.py:110 — "[#i]" is 1-based window ordinal
+                    "label": f"{name} [#{len(payloads) + 1}] :: {normalized}",
+                    "preview": _trim_preview(normalized),
+                    "start_line": start_line,
+                    "end_line": end_line,
+                }
+            )
+    return payloads or name_fallback()
+
+
 def make_chunk_pages_udf(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     overlap: int = DEFAULT_CHUNK_OVERLAP,
     char_limit: int = FULL_CHAR_LIMIT,
+    mode: str = "full",
 ):
-    """(url, html) -> array<chunk struct> pandas UDF (full mode)."""
+    """(url, html) -> array<chunk struct> pandas UDF for a mode."""
 
     @F.pandas_udf(ArrayType(CHUNK_STRUCT))
     def chunk_pages(url: pd.Series, html: pd.Series) -> pd.Series:
-        def one(u: str, data: bytes | None) -> list[dict]:
-            name = _page_name(u)
-            text = extract_text_py(data, char_limit)
-            payloads: list[dict] = []
-            if text is not None:
-                for cleaned, start_line, end_line in _full_chunks(text, chunk_size, overlap):
-                    normalized = _normalize_preview_chunk(cleaned)
-                    if not normalized:
-                        continue
-                    payloads.append(
-                        {
-                            "chunk_index": len(payloads),
-                            # vexor/modes.py:110 — "[#i]" is 1-based window ordinal
-                            "label": f"{name} [#{len(payloads) + 1}] :: {normalized}",
-                            "preview": _trim_preview(normalized),
-                            "start_line": start_line,
-                            "end_line": end_line,
-                        }
-                    )
-            if not payloads:
-                # Name fallback (vexor/modes.py:55-58, 100-103)
-                payloads.append(
-                    {
-                        "chunk_index": 0,
-                        "label": name.replace("_", " "),
-                        "preview": name,
-                        "start_line": None,
-                        "end_line": None,
-                    }
+        return pd.Series(
+            [
+                chunk_page_py(
+                    u, h, mode=mode, chunk_size=chunk_size,
+                    overlap=overlap, char_limit=char_limit,
                 )
-            return payloads
-
-        return pd.Series([one(u, h) for u, h in zip(url, html)])
+                for u, h in zip(url, html)
+            ]
+        )
 
     return chunk_pages
 
@@ -149,12 +284,13 @@ def chunk_pages(
     overlap: int = DEFAULT_CHUNK_OVERLAP,
     char_limit: int = FULL_CHAR_LIMIT,
     extra_cols: list[str] | None = None,
+    mode: str = "full",
 ) -> DataFrame:
     """pages(url, html, ...) → chunks(url, chunk_index, label, preview,
     start_line, end_line[, extra...]). `document` (the BM25 lexical text,
     bm25.py:54-57) is added as `url || ' ' || label` JVM-side.
     """
-    udf = make_chunk_pages_udf(chunk_size, overlap, char_limit)
+    udf = make_chunk_pages_udf(chunk_size, overlap, char_limit, mode)
     keep: list[Column | str] = [url_col] + (extra_cols or [])
     exploded = (
         pages.select(*keep, F.explode(udf(F.col(url_col), F.col(html_col))).alias("c"))
