@@ -34,7 +34,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
 BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 N_SMALL, N_BIG = 8, 32
 

@@ -77,6 +77,25 @@ def test_topk_rank_identical_on_query_suite(corpora):
     assert hits >= 20
 
 
+def test_filtered_search_superset_semantics(corpora):
+    """url-prefix narrowing uses full-corpus stats (O6/F5 semantics)."""
+    index, oracle = corpora
+    prefix = "https://example.org/spark/"
+    q = "spark index merge data"
+    want = pyref.search_filtered(oracle, q, 10, prefix)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in index.search(q, k=10, url_prefix=prefix)
+        .select("doc_id", "score")
+        .collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    url_by_doc = {d[0]: d[1] for d in oracle["docs"]}
+    assert all(url_by_doc[d].startswith(prefix) for d, _ in got)
+
+
 def test_search_result_decoration(corpora):
     index, _ = corpora
     rows = index.search("uid_000042", k=5).collect()

@@ -403,3 +403,12 @@ def search(index: dict, query: str, k: int = 10) -> list[tuple[int, float]]:
     terms = prepare_query_terms(query)
     scores = score_postings(terms, index["postings"], index["doc_count"], index["avg_doc_len"])
     return top_k(scores, k)
+
+
+def search_filtered(index: dict, query: str, k: int, url_prefix: str) -> list[tuple[int, float]]:
+    """Post-hoc filter semantics (F5/O6): full-corpus df/avgdl, results
+    narrowed to docs whose url starts with the prefix, then top-k."""
+    terms = prepare_query_terms(query)
+    scores = score_postings(terms, index["postings"], index["doc_count"], index["avg_doc_len"])
+    allowed = {d[0] for d in index["docs"] if d[1].startswith(url_prefix)}
+    return top_k({doc: s for doc, s in scores.items() if doc in allowed}, k)
