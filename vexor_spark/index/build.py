@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vexor_spark.constants import DEFAULT_SALT_PARTITIONS, DEFAULT_TERM_BUCKETS
-from vexor_spark.operators.chunking import chunk_pages
+from vexor_spark.operators.chunking import chunk_pages, with_document
 from vexor_spark.operators.postings import (
     build_postings,
     corpus_stats,
@@ -92,7 +92,7 @@ def build_docs(
     if persisted_out is not None:
         persisted_out.append(chunks)
     with_ids = assign_doc_ids(chunks, ["url", "chunk_index"], persisted_out=persisted_out)
-    return tokenize_docs(with_ids, "document")
+    return tokenize_docs(with_document(with_ids), "document")
 
 
 def build_index(

@@ -292,9 +292,16 @@ def chunk_pages(
     """
     udf = make_chunk_pages_udf(chunk_size, overlap, char_limit, mode)
     keep: list[Column | str] = [url_col] + (extra_cols or [])
-    exploded = (
-        pages.select(*keep, F.explode(udf(F.col(url_col), F.col(html_col))).alias("c"))
-        .select(*keep, "c.*")
-        .withColumn("document", F.concat_ws(" ", F.col(url_col), F.col("label")))
+    # NOTE: `document` (url + " " + label) is NOT materialized here — it
+    # duplicates the label bytes and would be persisted/shuffled through
+    # doc-id assignment; callers derive it with with_document() after.
+    return pages.select(
+        *keep, F.explode(udf(F.col(url_col), F.col(html_col))).alias("c")
+    ).select(*keep, "c.*")
+
+
+def with_document(chunks: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add the BM25 lexical document column (bm25.py:54-57)."""
+    return chunks.withColumn(
+        "document", F.concat_ws(" ", F.col(url_col), F.col("label"))
     )
-    return exploded
