@@ -147,6 +147,129 @@ SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank, vec_id
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a planted-duplicate corpus
+    (every 9th vector duplicated under vec_id+100000): LSH-bucket
+    blocking join + exact cosine ≥ 0.99 verification."""
+    emb = embeddings_table(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(dups)
+    pairs = sim.embedding_near_dup_pairs(
+        corpus, threshold=0.99, planes=sim.hyperplanes(EMB_DIM)
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos", RND).alias("cos"),
+    )
+
+
+def _sql_emb_near_dup() -> str:
+    planes = sim.hyperplanes(EMB_DIM)
+    plane_cols = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + f"]::DOUBLE[] AS p{j}"
+        for j, plane in enumerate(planes)
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {SQL_DOT.format(a='e.embedding', b=f'pl.p{j}')} >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(len(planes))
+    )
+    return f"""WITH pl AS (SELECT {plane_cols}),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 9 = 0
+),
+bucketed AS (
+  SELECT e.vec_id::BIGINT AS id, e.embedding AS v, ({bucket_terms}) AS bucket
+  FROM corpus e CROSS JOIN pl
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+    CASE WHEN {SQL_NORM.format(a='va')} > 0 AND {SQL_NORM.format(a='vb')} > 0
+         THEN {SQL_DOT.format(a='va', b='vb')}
+              / ({SQL_NORM.format(a='va')} * {SQL_NORM.format(a='vb')})
+         ELSE 0.0 END AS cos
+  FROM pairs
+)
+SELECT id_a, id_b, round(cos, {RND}) AS cos FROM verified WHERE cos >= 0.99"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cell assignment (8 seeded centroids),
+    query probes its 2 nearest cells, cosine top-10 within."""
+    emb = embeddings_table(spark, sf_dir)
+    cents = sim.ivf_centroids(EMB_DIM)
+    return sim.ivf_topk(
+        emb, _qvec(spark, sf_dir), 10, centroids=cents, n_probe=2, round_dp=RND
+    )
+
+
+def _sql_ivf_ann() -> str:
+    cents = sim.ivf_centroids(EMB_DIM)
+    cent_cols = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + f"]::DOUBLE[] AS c{j}"
+        for j, c in enumerate(cents)
+    )
+
+    def cos_expr(vec: str, cj: str) -> str:
+        return (
+            f"(CASE WHEN {SQL_NORM.format(a=vec)} > 0"
+            f" THEN {SQL_DOT.format(a=vec, b=cj)}"
+            f" / ({SQL_NORM.format(a=vec)} * {SQL_NORM.format(a=cj)})"
+            f" ELSE 0.0 END)"
+        )
+
+    cos_defs = ",\n         ".join(
+        f"{cos_expr('e.embedding', f'ct.c{j}')} AS cc{j}" for j in range(len(cents))
+    )
+    best = "greatest(" + ", ".join(f"cc{j}" for j in range(len(cents))) + ")"
+    cell_case = " ".join(
+        f"WHEN cc{j} = best THEN {j}" for j in range(len(cents))
+    )
+    return f"""WITH ct AS (SELECT {cent_cols}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.embedding,
+         {cos_defs}
+  FROM embeddings e CROSS JOIN ct
+),
+with_cell AS (
+  SELECT vec_id, embedding,
+         CASE {cell_case} ELSE 0 END AS cell
+  FROM (SELECT *, {best} AS best FROM assigned)
+),
+qcells AS (
+  SELECT cell, row_number() OVER (ORDER BY qcos DESC, cell ASC) AS r
+  FROM (
+    SELECT j AS cell,
+           CASE j {' '.join(f'WHEN {j} THEN ' + cos_expr('q.qv', f'ct.c{j}') for j in range(len(cents)))} END AS qcos
+    FROM q CROSS JOIN ct CROSS JOIN (SELECT unnest(generate_series(0, {len(cents) - 1})) AS j)
+  )
+),
+cand AS (
+  SELECT w.vec_id, w.embedding FROM with_cell w
+  WHERE w.cell IN (SELECT cell FROM qcells WHERE r <= 2)
+),
+scored AS (
+  SELECT c.vec_id,
+         CASE WHEN {SQL_NORM.format(a='c.embedding')} > 0
+              THEN round({SQL_DOT.format(a='c.embedding', b='q.qv')}
+                   / ({SQL_NORM.format(a='c.embedding')} * {SQL_NORM.format(a='q.qv')}), {RND})
+              ELSE 0.0 END AS cos
+  FROM cand c CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank, vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 # --- RRF hybrid over documents + embeddings ---------------------------------
 
 
@@ -624,6 +747,8 @@ FROM events GROUP BY 1, 2"""
 EXT_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "emb_near_dup": q_emb_near_dup,
     "rrf_hybrid": q_rrf_hybrid,
     "exact_dup_groups": q_exact_dup_groups,
     "minhash_sigs": q_minhash_sigs,
@@ -642,6 +767,8 @@ EXT_QUERIES = {
 EXT_ORACLE_SQL = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh(),
+    "ivf_ann_topk": _sql_ivf_ann(),
+    "emb_near_dup": _sql_emb_near_dup(),
     "rrf_hybrid": _sql_rrf_hybrid(),
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "minhash_sigs": _sql_minhash_sigs(),

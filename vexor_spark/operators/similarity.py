@@ -98,6 +98,108 @@ def bucket_of(query: list[float], planes: list[list[float]]) -> int:
     return b
 
 
+def cosine_pair_col(a: Column, b: Column) -> Column:
+    """cosine between two array columns (sequential sums)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na, nb = norm_col(a), norm_col(b)
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) — embedding-cosine near-duplicates: candidate
+    pairs share a random-hyperplane LSH bucket (equi-join), verified by
+    exact cosine ≥ threshold. The blocking join bounds the quadratic
+    pair space the way MinHash banding does for text."""
+    if planes is None:
+        dim = len(emb.select(vec_col).first()[0])
+        planes = hyperplanes(dim)
+    bucketed = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    right = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_pair_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# --- IVF (inverted-file) ANN — the scale path ------------------------------
+
+IVF_SEED = 0x1F1F
+IVF_CELLS = 8
+
+
+def ivf_centroids(dim: int, n_cells: int = IVF_CELLS, seed: int = IVF_SEED) -> list[list[float]]:
+    """Seeded gaussian centroids (deterministic; a production build
+    would k-means them — the assignment/probe plumbing is identical)."""
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.randn(dim)] for _ in range(n_cells)]
+
+
+def ivf_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax-cosine cell id; ties break to the lowest cell index."""
+    cos_cols = [cosine_lit_col(vec, c) for c in centroids]
+    best = F.greatest(*cos_cols)
+    expr = None
+    for j, c in enumerate(cos_cols):
+        cond = c == best
+        expr = F.when(cond, F.lit(j)) if expr is None else expr.when(cond, F.lit(j))
+    return expr.otherwise(F.lit(0)).cast("int")
+
+
+def ivf_query_cells(query: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    sims = []
+    for j, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cn = np.sqrt((cv * cv).sum())
+        sims.append((-(float(np.dot(q, cv)) / (qn * cn)) if qn and cn else 0.0, j))
+    sims.sort()
+    return [j for _, j in sims[:n_probe]]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(rank, vec_id, cos) — IVF ANN: rows are assigned to their
+    nearest-centroid cell; the query probes its n_probe nearest cells
+    and brute-forces within. At scale the table is PARTITIONED by cell
+    so a probe prunes to n_probe partitions (same layout trick as the
+    postings term buckets)."""
+    if centroids is None:
+        centroids = ivf_centroids(len(query))
+    cells = ivf_query_cells(query, centroids, n_probe)
+    assigned = emb.withColumn("_cell", ivf_cell_col(F.col(vec_col), centroids))
+    candidates = assigned.filter(F.col("_cell").isin([int(c) for c in cells]))
+    return cosine_topk(candidates, query, k, id_col=id_col, vec_col=vec_col, round_dp=round_dp)
+
+
 def ann_topk(
     emb: DataFrame,
     query: list[float],
