@@ -65,31 +65,27 @@ def main() -> None:
 
     # best-of-N: single-run wall clocks in this sandbox swing 2-3x with
     # system noise; best-of-N approximates steady-state throughput.
+    # The timed unit is the FULL artifact build (extract → chunk → ids →
+    # tf → streamed block encode → partitioned parquet + dict + docs).
+    from vexor_spark.index.storage import build_and_write_index
+
     times = []
-    index = None
-    for rep in range(max(args.repeats, 1)):
-        if index is not None:
-            index.docs.unpersist()
-            index.postings.unpersist()
+    summary = None
+    for _rep in range(max(args.repeats, 1)):
         t0 = time.time()
-        index = build_index(
-            pages, salt_partitions=args.salt, term_buckets=args.term_buckets
+        summary = build_and_write_index(
+            pages, idx_path, term_buckets=args.term_buckets
         )
         times.append(time.time() - t0)
     build_secs = min(times)
 
-    t1 = time.time()
-    write_index(index, idx_path)
-    write_secs = time.time() - t1
-
     out = {
         "pages": args.pages,
-        "docs": index.doc_count,
+        "docs": summary["docs"],
         "build_secs": round(build_secs, 3),
         "build_secs_all": [round(t, 3) for t in times],
-        "docs_per_sec": round(index.doc_count / build_secs, 2),
+        "docs_per_sec": round(summary["docs"] / build_secs, 2),
         "pages_per_sec": round(args.pages / build_secs, 2),
-        "write_secs": round(write_secs, 3),
         "parallelism": spark.sparkContext.defaultParallelism,
     }
 

@@ -38,6 +38,30 @@ def test_posting_list_roundtrip(plist):
     assert decode_posting_list(blob) == [tuple(p) for p in plist]
 
 
+@settings(max_examples=100)
+@given(st.lists(posting_lists, min_size=0, max_size=6))
+def test_batch_numpy_decode_matches_scalar(plists):
+    """decode_blocks_np over concatenated blobs == per-blob scalar decode."""
+    import numpy as np
+
+    from vexor_spark.functions.codec import decode_blocks_np
+
+    blobs = [encode_posting_list(pl) for pl in plists]
+    counts = [len(pl) for pl in plists]
+    ids, tfs, dls = decode_blocks_np(blobs, counts)
+    want = [tuple(p) for pl in plists for p in pl]
+    got = list(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
+    assert got == want
+
+
+def test_single_blob_numpy_decode():
+    from vexor_spark.functions.codec import decode_posting_list_np
+
+    pl = [(0, 1, 5), (7, 3, 2), (2**40, 10000, 999999)]
+    ids, tfs, dls = decode_posting_list_np(encode_posting_list(pl))
+    assert list(zip(ids.tolist(), tfs.tolist(), dls.tolist())) == pl
+
+
 def test_compression_beats_raw():
     plist = [(i * 3, 1, 50) for i in range(10_000)]
     blob = encode_posting_list(plist)

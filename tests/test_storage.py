@@ -98,6 +98,62 @@ def test_pruned_scoring_exact(persisted, qi):
         assert gs == pytest.approx(ws, rel=1e-9)
 
 
+def test_write_strategies_identical(spark, tmp_path):
+    """The streaming sort-based writer and the array-encode writer must
+    produce byte-identical postings blocks and equal dictionaries."""
+    from vexor_spark.index.storage import write_index
+
+    pages = generate_pages_df(spark, 50, edges=True, partitions=3)
+    index = build_index(pages, salt_partitions=2, term_buckets=8)
+    write_index(index, tmp_path / "a", strategy="sorted")
+    write_index(index, tmp_path / "b", strategy="arrays")
+    index.docs.unpersist(); index.postings.unpersist()
+
+    def load(d):
+        rows = spark.read.parquet(str(d / "postings")).collect()
+        return {
+            (r["term"], r["block_id"]): (
+                r["df"], r["n"], r["block_first"], r["block_last"],
+                round(r["block_ub"], 12), bytes(r["blob"]),
+            )
+            for r in rows
+        }
+
+    a, b = load(tmp_path / "a"), load(tmp_path / "b")
+    assert a == b
+    da = {r["term"]: (r["df"], round(r["max_kernel"], 12))
+          for r in spark.read.parquet(str(tmp_path / "a" / "dict")).collect()}
+    db = {r["term"]: (r["df"], round(r["max_kernel"], 12))
+          for r in spark.read.parquet(str(tmp_path / "b" / "dict")).collect()}
+    assert da == db
+
+
+def test_build_and_write_equals_two_step(spark, tmp_path):
+    """The fused no-arrays artifact builder == build_index + write_index."""
+    from vexor_spark.index.storage import build_and_write_index, write_index
+
+    pages = generate_pages_df(spark, 50, edges=True, partitions=3)
+    summary = build_and_write_index(pages, tmp_path / "fused", term_buckets=8)
+    index = build_index(pages, salt_partitions=2, term_buckets=8)
+    write_index(index, tmp_path / "twostep", strategy="arrays")
+    assert summary["docs"] == index.doc_count
+    index.docs.unpersist(); index.postings.unpersist()
+
+    def load(d):
+        rows = spark.read.parquet(str(d / "postings")).collect()
+        return {
+            (r["term"], r["block_id"]): (
+                r["df"], r["n"], r["block_first"], r["block_last"], bytes(r["blob"])
+            )
+            for r in rows
+        }
+
+    assert load(tmp_path / "fused") == load(tmp_path / "twostep")
+    pidx = PersistedIndex(spark, tmp_path / "fused")
+    hits = pidx.search_local("uid_000042", k=3)
+    assert hits and hits[0][1] >= 0
+
+
 def test_decorated_results(persisted):
     idx, oracle, _ = persisted
     ranked = idx.search_distributed("uid_000042", k=5)

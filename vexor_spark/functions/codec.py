@@ -178,6 +178,9 @@ def decode_blocks_np(blobs: list[bytes], counts: list[int]):
     vals = ((a[idx] & 0x7F) * weights * valid).sum(axis=1)
 
     ns = np.asarray(counts, dtype=np.int64)
+    if int(ns.sum()) == 0:
+        e = np.array([], np.int64)
+        return e, e, e
     per_blob_vals = 1 + 3 * ns  # [count, (gap,tf,dl)*n]
     blob_val_starts = np.concatenate(([0], np.cumsum(per_blob_vals)[:-1]))
     # drop the count value of each blob, keep triples

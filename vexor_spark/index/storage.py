@@ -85,33 +85,136 @@ def term_buckets_for(spark: SparkSession, terms: list[str], term_buckets: int) -
     return {t: spark_pmod_bucket(t, term_buckets) for t in terms}
 
 
+def _sorted_block_rows(
+    tf: DataFrame,
+    avg_doc_len: float,
+    term_buckets: int,
+    block_size: int,
+) -> DataFrame:
+    """tf(doc_id, doc_len, term, tf) → block rows via ONE repartition +
+    partition-local sort + streaming Arrow encoder — the scale path:
+    no per-term array objects ever exist in the JVM, a term's postings
+    stream through the Python worker in sorted order and leave as
+    fixed-size encoded blocks. (The collect_list path materializes each
+    term's whole list as one JVM row — fine for medium vocabularies,
+    hostile to head terms at 10^12 docs.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vexor_spark.constants import BM25_B, BM25_K1
+    from vexor_spark.functions.codec import encode_posting_list
+
+    out_schema = (
+        "term string, term_bucket int, df long, block_id int, n int, "
+        "block_first long, block_last long, block_ub double, blob binary"
+    )
+
+    def encode_stream(batches):
+        carry: dict | None = None  # {"term", "bucket", ids, tfs, dls}
+
+        def emit(term: str, bucket: int, ids, tfs, dls) -> list[dict]:
+            rows = []
+            df_ = len(ids)
+            tf_arr = np.asarray(tfs, np.float64)
+            dl_arr = np.asarray(dls, np.float64)
+            kernels = (
+                tf_arr
+                * (BM25_K1 + 1.0)
+                / (tf_arr + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_arr / avg_doc_len))
+            )
+            for bi in range(0, df_, block_size):
+                sl = slice(bi, bi + block_size)
+                bids, btfs, bdls = ids[sl], tfs[sl], dls[sl]
+                rows.append(
+                    {
+                        "term": term,
+                        "term_bucket": bucket,
+                        "df": df_,
+                        "block_id": bi // block_size,
+                        "n": len(bids),
+                        "block_first": int(bids[0]),
+                        "block_last": int(bids[-1]),
+                        "block_ub": float(kernels[sl].max()),
+                        "blob": encode_posting_list(list(zip(bids, btfs, bdls))),
+                    }
+                )
+            return rows
+
+        for batch in batches:
+            out_rows: list[dict] = []
+            for term, grp in batch.groupby("term", sort=False):
+                ids = grp["doc_id"].tolist()
+                tfs = grp["tf"].tolist()
+                dls = grp["doc_len"].tolist()
+                bucket = int(grp["term_bucket"].iloc[0])
+                if carry is not None and carry["term"] == term:
+                    ids = carry["ids"] + ids
+                    tfs = carry["tfs"] + tfs
+                    dls = carry["dls"] + dls
+                elif carry is not None:
+                    out_rows.extend(
+                        emit(carry["term"], carry["bucket"], carry["ids"], carry["tfs"], carry["dls"])
+                    )
+                carry = {"term": term, "bucket": bucket, "ids": ids, "tfs": tfs, "dls": dls}
+            # hold the last group — it may continue in the next batch
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+        if carry is not None:
+            yield pd.DataFrame(
+                emit(carry["term"], carry["bucket"], carry["ids"], carry["tfs"], carry["dls"])
+            )
+
+    bucketed = tf.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    )
+    sorted_df = bucketed.repartition(F.col("term_bucket")).sortWithinPartitions(
+        "term", "doc_id"
+    )
+    return sorted_df.mapInPandas(encode_stream, out_schema)
+
+
 def write_index(
     index: InMemoryIndex,
     index_dir: str | Path,
     *,
     block_size: int = POSTING_BLOCK_SIZE,
+    strategy: str = "sorted",
 ) -> None:
+    """strategy='sorted' (default): stream-encode from tf via
+    repartition+sort (scale path). strategy='arrays': encode the
+    in-memory posting arrays (needs index.postings materialized)."""
     index_dir = Path(index_dir)
     avgdl = index.avg_doc_len if index.avg_doc_len > 0 else 1.0
-    encode_blocks = make_encode_blocks_udf(avgdl, block_size)
-    blocks = (
-        index.postings.withColumn("_blocks", encode_blocks("postings"))
-        .select(
-            "term",
-            "term_bucket",
-            "df",
-            F.explode("_blocks").alias("b"),
+    if strategy == "sorted":
+        from vexor_spark.operators.postings import tf_from_doc_table
+
+        tf = tf_from_doc_table(
+            index.docs.select("doc_id", "url", "chunk_index", "label", "doc_len")
         )
-        .select("term", "term_bucket", "df", "b.*")
-    )
+        blocks = _sorted_block_rows(tf, avgdl, index.term_buckets, block_size).persist()
+        dictionary = blocks.groupBy("term", "term_bucket").agg(
+            F.first("df").alias("df"), F.max("block_ub").alias("max_kernel")
+        ).select("term", "term_bucket", "df", "max_kernel")
+    elif strategy == "arrays":
+        encode_blocks = make_encode_blocks_udf(avgdl, block_size)
+        blocks = (
+            index.postings.withColumn("_blocks", encode_blocks("postings"))
+            .select("term", "term_bucket", "df", F.explode("_blocks").alias("b"))
+            .select("term", "term_bucket", "df", "b.*")
+        )
+        dictionary = index.postings.select(
+            "term", "term_bucket", "df", max_kernel_col(avgdl).alias("max_kernel")
+        )
+    else:
+        raise ValueError(strategy)
+    # sorted-path blocks are already co-located by bucket (the encode
+    # stream runs on bucket-hash partitions) — no extra shuffle needed.
+    to_write = blocks if strategy == "sorted" else blocks.repartition("term_bucket")
     (
-        blocks.repartition("term_bucket")
-        .write.mode("overwrite")
+        to_write.write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(str(index_dir / "postings"))
-    )
-    dictionary = index.postings.select(
-        "term", "term_bucket", "df", max_kernel_col(avgdl).alias("max_kernel")
     )
     (
         dictionary.repartition("term_bucket")
@@ -119,6 +222,8 @@ def write_index(
         .partitionBy("term_bucket")
         .parquet(str(index_dir / "dict"))
     )
+    if strategy == "sorted":
+        blocks.unpersist()
     index.docs.write.mode("overwrite").parquet(str(index_dir / "docs"))
     index.stats.write.mode("overwrite").parquet(str(index_dir / "stats"))
     meta = {
@@ -129,6 +234,70 @@ def write_index(
         "avg_doc_len": index.avg_doc_len,
     }
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=2))
+
+
+def build_and_write_index(
+    pages,
+    index_dir: str | Path,
+    *,
+    term_buckets: int = 64,
+    block_size: int = POSTING_BLOCK_SIZE,
+    mode: str = "full",
+) -> dict:
+    """End-to-end artifact build WITHOUT materializing posting arrays:
+    pages → chunks → doc ids → tf → sorted streaming block encode →
+    partitioned parquet. One shuffle for ids, one for tf, one for the
+    bucket sort — no collect_list, no per-term JVM arrays (the path that
+    survives head terms at 10^12 docs). Returns {docs, avg_doc_len,
+    secs...} summary."""
+    import time
+
+    from vexor_spark.index.build import build_docs
+    from vexor_spark.operators.postings import corpus_stats, term_freqs
+
+    index_dir = Path(index_dir)
+    t0 = time.time()
+    intermediates: list = []
+    docs = build_docs(pages, persisted_out=intermediates, mode=mode)
+    doc_table = docs.select(
+        "doc_id", "url", "chunk_index", "label", "preview",
+        "start_line", "end_line", "doc_len",
+    ).persist()
+    row = corpus_stats(doc_table.select("doc_id", "doc_len")).collect()[0]
+    doc_count = int(row["doc_count"])
+    avgdl = float(row["avg_doc_len"]) if row["avg_doc_len"] else 0.0
+    for df_ in intermediates:  # chunk/id caches no longer needed
+        df_.unpersist()
+
+    from vexor_spark.operators.postings import tf_from_doc_table
+
+    tf = tf_from_doc_table(doc_table)
+    blocks = _sorted_block_rows(tf, avgdl if avgdl > 0 else 1.0, term_buckets, block_size)
+    blocks = blocks.persist()
+    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        str(index_dir / "postings")
+    )
+    dictionary = blocks.groupBy("term", "term_bucket").agg(
+        F.first("df").alias("df"), F.max("block_ub").alias("max_kernel")
+    ).select("term", "term_bucket", "df", "max_kernel")
+    dictionary.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        str(index_dir / "dict")
+    )
+    blocks.unpersist()
+    doc_table.write.mode("overwrite").parquet(str(index_dir / "docs"))
+    doc_table.sparkSession.createDataFrame(
+        [(doc_count, avgdl)], "doc_count long, avg_doc_len double"
+    ).write.mode("overwrite").parquet(str(index_dir / "stats"))
+    doc_table.unpersist()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "term_buckets": term_buckets,
+        "block_size": block_size,
+        "doc_count": doc_count,
+        "avg_doc_len": avgdl,
+    }
+    (index_dir / "meta.json").write_text(json.dumps(meta, indent=2))
+    return {"docs": doc_count, "avg_doc_len": avgdl, "secs": round(time.time() - t0, 3)}
 
 
 class PersistedIndex:
@@ -293,9 +462,20 @@ class PersistedIndex:
         order = sorted(idf, key=lambda t: -ub[t])
         remaining = sum(ub.values())
 
-        acc_ids = np.array([], np.int64)
-        acc_sums = np.array([], np.float64)
+        id_parts: list = []
+        c_parts: list = []
         frozen: np.ndarray | None = None
+        processed_ub = 0.0
+
+        def aggregate():
+            if not id_parts:
+                return np.array([], np.int64), np.array([], np.float64)
+            all_ids = np.concatenate(id_parts)
+            all_cs = np.concatenate(c_parts)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            sums = np.zeros(len(uniq), np.float64)
+            np.add.at(sums, inv, all_cs)
+            return uniq, sums
 
         for t in order:
             remaining -= ub[t]
@@ -315,17 +495,20 @@ class PersistedIndex:
                 pos = np.searchsorted(frozen, ids)
                 mask = (pos < len(frozen)) & (frozen[np.minimum(pos, len(frozen) - 1)] == ids)
                 ids, cs = ids[mask], cs[mask]
-            # merge into accumulators
-            merged = np.concatenate([acc_ids, ids])
-            merged_c = np.concatenate([acc_sums, cs])
-            acc_ids, inv = np.unique(merged, return_inverse=True)
-            acc_sums = np.zeros(len(acc_ids), np.float64)
-            np.add.at(acc_sums, inv, merged_c)
-            if frozen is None and len(acc_ids) >= k:
-                theta = np.partition(acc_sums, len(acc_sums) - k)[len(acc_sums) - k]
-                if remaining < theta:
-                    frozen = acc_ids.copy()
-        return acc_ids, acc_sums
+            id_parts.append(ids)
+            c_parts.append(cs)
+            processed_ub += ub[t]
+            # The aggregation (for the freeze check) is only worth doing
+            # when it could possibly succeed: theta ≤ best partial ≤
+            # processed_ub, so remaining < processed_ub is necessary.
+            if frozen is None and remaining < processed_ub:
+                acc_ids, acc_sums = aggregate()
+                if len(acc_ids) >= k:
+                    theta = np.partition(acc_sums, len(acc_sums) - k)[len(acc_sums) - k]
+                    if remaining < theta:
+                        frozen = acc_ids
+                        id_parts, c_parts = [acc_ids], [acc_sums]
+        return aggregate()
 
     def _score_blocks(self, blocks: DataFrame) -> DataFrame:
         """blocks (term, df, blob, ...) → (doc_id, score)."""

@@ -65,6 +65,16 @@ def corpus_stats(doclens: DataFrame) -> DataFrame:
     )
 
 
+def tf_from_doc_table(doc_table: DataFrame) -> DataFrame:
+    """Recompute (doc_id, doc_len, term, tf) from the slim persisted doc
+    table (url+label → document → JVM tokenize) — lets consumers derive
+    tf without re-running the Python chunk stage."""
+    from vexor_spark.operators.chunking import with_document
+
+    docs = tokenize_docs(with_document(doc_table), "document")
+    return term_freqs(docs.select("doc_id", "doc_len", "tokens"))
+
+
 def build_postings(
     tf_df: DataFrame,
     *,
