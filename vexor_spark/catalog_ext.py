@@ -741,6 +741,63 @@ SQL_EVENTS_HOURLY = f"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
   count(*)::BIGINT AS n, round(sum(value), {RND}) AS sum_value
 FROM events GROUP BY 1, 2"""
 
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 min (lag + cumulative-sum-of-breaks —
+    the batch equivalent of a session window; Structured Streaming
+    would use F.session_window with the same gap)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap comparison (cast-to-long floors seconds and
+    # can disagree with the SQL oracle at exact-boundary gaps)
+    # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_break = (
+        F.when(
+            micros - F.lag(micros).over(w) > SESSION_GAP_MIN * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sess = e.withColumn("brk", gap_break).withColumn(
+        "session_idx", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), RND).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events", "session_start", "session_end", "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > {SESSION_GAP_MIN * 60 * 1000000}
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sessed AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
+  count(*)::BIGINT AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+  round(sum(value), {RND}) AS sum_value
+FROM sessed GROUP BY user_id, session_idx"""
+
 
 # --- registry -------------------------------------------------------------------
 
@@ -762,6 +819,7 @@ EXT_QUERIES = {
     "head_label": q_head_label,
     "keyword_top20": q_keyword_top20,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
 }
 
 EXT_ORACLE_SQL = {
@@ -782,4 +840,5 @@ EXT_ORACLE_SQL = {
     "head_label": SQL_HEAD_LABEL,
     "keyword_top20": _sql_keyword_top20(),
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
 }
