@@ -374,6 +374,140 @@ SELECT row_number() OVER (ORDER BY fused DESC, doc_id ASC)::BIGINT AS rank,
 FROM fused ORDER BY fused DESC, doc_id ASC LIMIT 10"""
 
 
+RERANK_QUERY = "spark join window merge"
+RERANK_CAND = 20  # max(20, min(2*10, 150)) — search_service.py:171-174
+
+
+def q_weighted_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy `rerank=bm25` arm over the driver tables: dense candidates
+    = top-20 by embedding cosine vs vec 0 (doc_id = vec_id), BM25L over
+    the candidate texts, 0.7·sem_norm + 0.3·bm25l_norm
+    (search_service.py:199-218; BM25L formula per rank_bm25)."""
+    from vexor_spark.constants import BM25_B, BM25_K1
+    from vexor_spark.operators.fusion import BM25L_DELTA
+
+    emb = embeddings_table(spark, sf_dir)
+    qv = _qvec(spark, sf_dir)
+    w = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
+    cand = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
+        )
+        .withColumn("dense_rank", F.row_number().over(w))
+        .filter(F.col("dense_rank") <= RERANK_CAND)
+        .join(docs_table(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    )
+    tokenized = cand.withColumn("toks", tokenize_col("text")).withColumn(
+        "dl", F.size("toks").cast("double")
+    )
+    # candidate micro-corpus stats
+    w_all = Window.partitionBy()
+    tokenized = tokenized.withColumn("n_docs", F.count("*").over(w_all)).withColumn(
+        "avgdl", F.avg("dl").over(w_all)
+    )
+    qterms = [(t,) for t in prepare_query_terms(RERANK_QUERY)]
+    qdf = spark.createDataFrame(qterms, "term string")
+    tf = (
+        tokenized.select("doc_id", "dl", "n_docs", "avgdl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "n_docs", "avgdl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .join(F.broadcast(qdf), "term")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    ctd = F.col("tf") / (1.0 - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 0.5))
+        * F.lit(BM25_K1 + 1.0)
+        * (ctd + F.lit(BM25L_DELTA))
+        / (F.lit(BM25_K1) + ctd + F.lit(BM25L_DELTA))
+    )
+    bm25l = (
+        tf.join(dfreq, "term")
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("bm"))
+    )
+    fused = (
+        tokenized.select("doc_id", "dense_rank", "dense_score")
+        .join(bm25l, "doc_id", "left")
+        .withColumn("sem", F.greatest(F.col("dense_score"), F.lit(0.0)))
+        .withColumn("bmv", F.coalesce("bm", F.lit(0.0)))
+        .withColumn("sem_max", F.max("sem").over(w_all))
+        .withColumn("bm_max", F.max("bmv").over(w_all))
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(0.7) * F.when(F.col("sem_max") > 0, F.col("sem") / F.col("sem_max")).otherwise(0.0)
+                + F.lit(0.3) * F.when(F.col("bm_max") > 0, F.col("bmv") / F.col("bm_max")).otherwise(0.0),
+                RND,
+            ),
+        )
+    )
+    w_final = Window.orderBy(F.desc("score"), F.asc("dense_rank"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+
+
+def _sql_weighted_rerank() -> str:
+    terms = prepare_query_terms(RERANK_QUERY)
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id::BIGINT AS doc_id,
+         CASE WHEN {SQL_NORM.format(a='e.embedding')} > 0
+              THEN {SQL_DOT.format(a='e.embedding', b='q.qv')}
+                   / ({SQL_NORM.format(a='e.embedding')} * {SQL_NORM.format(a='q.qv')})
+              ELSE 0.0 END AS dense_score
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT d.doc_id, d.dense_score,
+         row_number() OVER (ORDER BY d.dense_score DESC, d.doc_id ASC) AS dense_rank
+  FROM dense d QUALIFY dense_rank <= {RERANK_CAND}
+),
+tokd AS (
+  SELECT c.doc_id, c.dense_score, c.dense_rank,
+         regexp_extract_all(lower(t.text), '{TOKEN_PATTERN_LOWER}') AS toks
+  FROM cand c JOIN documents t USING (doc_id)
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl FROM tokd),
+qt(term) AS (VALUES {qvals}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM tokd)
+  GROUP BY doc_id, term
+),
+matched AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM matched GROUP BY term),
+bm25l AS (
+  SELECT m.doc_id, sum(
+    ln((s.n_docs + 1.0) / (d.df + 0.5)) * 2.5
+    * ((m.tf / (0.25 + 0.75 * m.dl / s.avgdl)) + 0.5)
+    / (1.5 + (m.tf / (0.25 + 0.75 * m.dl / s.avgdl)) + 0.5)
+  ) AS bm
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s GROUP BY m.doc_id
+),
+fused AS (
+  SELECT c.doc_id, c.dense_rank,
+         greatest(c.dense_score, 0.0) AS sem,
+         coalesce(b.bm, 0.0) AS bmv
+  FROM cand c LEFT JOIN bm25l b USING (doc_id)
+),
+normed AS (
+  SELECT doc_id, dense_rank,
+    round(0.7 * (CASE WHEN max(sem) OVER () > 0 THEN sem / max(sem) OVER () ELSE 0.0 END)
+        + 0.3 * (CASE WHEN max(bmv) OVER () > 0 THEN bmv / max(bmv) OVER () ELSE 0.0 END), {RND}) AS score
+  FROM fused
+)
+SELECT row_number() OVER (ORDER BY score DESC, dense_rank ASC)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM normed ORDER BY score DESC, dense_rank ASC LIMIT 10"""
+
+
 # --- dedup family ------------------------------------------------------------
 
 # Planted-duplicate corpus: every 7th doc duplicated under doc_id+100000.
@@ -807,6 +941,7 @@ EXT_QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "emb_near_dup": q_emb_near_dup,
     "rrf_hybrid": q_rrf_hybrid,
+    "weighted_rerank": q_weighted_rerank,
     "exact_dup_groups": q_exact_dup_groups,
     "minhash_sigs": q_minhash_sigs,
     "near_dup_pairs": q_near_dup_pairs,
@@ -828,6 +963,7 @@ EXT_ORACLE_SQL = {
     "ivf_ann_topk": _sql_ivf_ann(),
     "emb_near_dup": _sql_emb_near_dup(),
     "rrf_hybrid": _sql_rrf_hybrid(),
+    "weighted_rerank": _sql_weighted_rerank(),
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "minhash_sigs": _sql_minhash_sigs(),
     "near_dup_pairs": _sql_near_dup_pairs(),
