@@ -34,8 +34,11 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
-BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
+# Host noise swings identical builds 2-3×; scaling runs are therefore
+# ALTERNATED across fresh JVMs (N, 4N, N, 4N) and each side takes its
+# minimum, decorrelating slow-host windows from one cluster size.
+BENCH_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 N_SMALL, N_BIG = 8, 32
 
 HEADLINE = [
@@ -90,7 +93,7 @@ def _run_build(
         "--queries",
         str(queries),
         "--repeats",
-        str(BENCH_REPEATS),
+        "2",  # in-JVM best-of-2 (2nd rep is JIT/page-cache warm)
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     m = re.search(r"BENCH_BUILD (\{.*\})", proc.stdout)
@@ -139,31 +142,39 @@ def main() -> None:
         try:
             zpath = _zip_package(tmp)
             pages_dir = tmp / "pages"
-            small = _run_build(
-                f"local[{N_SMALL}]", BENCH_PAGES, zpath, tmp / "n_small",
-                queries=0, pages_dir=pages_dir,
-            )
-            big = _run_build(
-                f"local[{N_BIG}]", BENCH_PAGES, zpath, tmp / "n_big",
-                queries=30, pages_dir=pages_dir,
-            )
-            eff = big["docs_per_sec"] / (
-                (N_BIG / N_SMALL) * small["docs_per_sec"]
-            )
+            smalls, bigs = [], []
+            big = small = None
+            for rnd in range(BENCH_ROUNDS):
+                small = _run_build(
+                    f"local[{N_SMALL}]", BENCH_PAGES, zpath, tmp / f"n_small_{rnd}",
+                    queries=0, pages_dir=pages_dir,
+                )
+                big = _run_build(
+                    f"local[{N_BIG}]", BENCH_PAGES, zpath, tmp / f"n_big_{rnd}",
+                    queries=30 if rnd == BENCH_ROUNDS - 1 else 0,
+                    pages_dir=pages_dir,
+                )
+                smalls.append(small)
+                bigs.append(big)
+            s_best = min(smalls, key=lambda r: r["build_secs"])
+            b_best = min(bigs, key=lambda r: r["build_secs"])
+            eff = b_best["docs_per_sec"] / ((N_BIG / N_SMALL) * s_best["docs_per_sec"])
             result["scaling"] = {
                 "pages": BENCH_PAGES,
-                "docs": big["docs"],
-                "docs_per_sec_n8": small["docs_per_sec"],
-                "docs_per_sec_n32": big["docs_per_sec"],
-                "build_secs_n8": small["build_secs"],
-                "build_secs_n32": big["build_secs"],
+                "docs": b_best["docs"],
+                "docs_per_sec_n8": s_best["docs_per_sec"],
+                "docs_per_sec_n32": b_best["docs_per_sec"],
+                "build_secs_n8": s_best["build_secs"],
+                "build_secs_n32": b_best["build_secs"],
+                "build_secs_n8_all": [r["build_secs"] for r in smalls],
+                "build_secs_n32_all": [r["build_secs"] for r in bigs],
                 "efficiency_n8_to_n32": round(eff, 3),
             }
             result["bm25_query_latency"] = {
                 "median_sec": big.get("query_median_sec"),
                 "p95_sec": big.get("query_p95_sec"),
             }
-            result["index_build_docs_per_sec"] = big["docs_per_sec"]
+            result["index_build_docs_per_sec"] = b_best["docs_per_sec"]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
