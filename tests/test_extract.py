@@ -11,7 +11,16 @@ from vexor_spark.sources.corpus import generate_pages_df, generate_pages_local
 def test_scalar_extract_edge_cases():
     assert extract_text_py(b"") is None
     assert extract_text_py(b"   \r\n \t ") is None
-    assert extract_text_py(b"\xff\xfe bad") is None
+    # Invalid UTF-8 now takes the charset_normalizer fallback arm
+    # (content_extract_service.py:725-748): deterministic best-guess
+    # decode of the FULL payload, whatever the library guesses.
+    from vexor_spark.functions.text import charset_fallback_py
+
+    fb = charset_fallback_py(b"\xff\xfe bad")
+    assert fb is not None
+    assert extract_text_py(b"\xff\xfe bad") == fb.replace("\r\n", "\n").strip()
+    # latin-1-style bytes resolve to SOME deterministic non-None text
+    assert extract_text_py("café münchen".encode("latin-1")) is not None
     assert extract_text_py("héllo\r\nwörld".encode()) == "héllo\nwörld"
     # trailing incomplete multibyte sequence is dropped, not an error
     data = "héllo".encode() + "é".encode()[:1]

@@ -27,22 +27,52 @@ from pyspark.sql.types import StringType
 from vexor_spark.constants import FULL_CHAR_LIMIT, PREVIEW_CHAR_LIMIT, UTF8_BYTE_MULTIPLIER
 
 
+def charset_fallback_py(data: bytes) -> str | None:
+    """Non-UTF-8 fallback arm: charset_normalizer best-guess decode over
+    the FULL byte payload — the reference's `from_path(path)` reads the
+    whole file, not the byte-capped prefix (content_extract_service.py
+    :731-741). Deterministic for fixed bytes; returns None when the
+    library is absent or detection fails.
+    """
+    try:
+        from charset_normalizer import from_bytes
+    except Exception:  # pragma: no cover - installed in this env
+        return None
+    try:
+        result = from_bytes(data)
+    except Exception:
+        return None
+    if result is None or not len(result):
+        return None
+    best = result.best()
+    if best is None:
+        return None
+    text = str(best)
+    return text or None
+
+
 def extract_text_py(data: bytes | None, char_limit: int = FULL_CHAR_LIMIT) -> str | None:
     """Scalar extraction contract (shared by the UDF and tests):
     decode first char_limit*4 bytes incrementally (incomplete trailing
-    sequence dropped, invalid bytes → None), cap at char_limit chars,
-    CRLF→LF, strip (content_extract_service.py:749-768 + :200).
+    sequence dropped), on invalid UTF-8 fall back to charset_normalizer
+    over the full payload (content_extract_service.py:725-748), cap at
+    char_limit chars, CRLF→LF, strip (:200).
     """
     if data is None:
         return None
-    if char_limit > 0:
-        data = data[: char_limit * UTF8_BYTE_MULTIPLIER]
+    capped = data[: char_limit * UTF8_BYTE_MULTIPLIER] if char_limit > 0 else data
     try:
-        text = codecs.getincrementaldecoder("utf-8")().decode(data, final=False)
+        text = codecs.getincrementaldecoder("utf-8")().decode(capped, final=False)
     except UnicodeDecodeError:
-        return None
-    if text == "":
-        return None
+        text = None
+    if not text:
+        # The reference's UTF-8 arm returns None on decode error AND on
+        # empty decode (e.g. a lone truncated multibyte prefix), and
+        # BOTH take the fallback (content_extract_service.py:760-766
+        # returns None for text == "", :725-731 falls through on None).
+        text = charset_fallback_py(data)
+        if not text:
+            return None
     if char_limit > 0:
         text = text[:char_limit]
     normalized = text.replace("\r\n", "\n").strip()

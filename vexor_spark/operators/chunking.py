@@ -124,9 +124,12 @@ def _cleanup_snippet(snippet: str) -> str | None:
 
 
 def _decode_head(data: bytes | None, char_limit: int) -> str | None:
-    """_read_text_head UTF-8 arm: decode+cap, then cleanup
-    (content_extract_service.py:701-723)."""
+    """_read_text_head: UTF-8 arm (decode+cap) with charset_normalizer
+    fallback over the full payload, then cleanup
+    (content_extract_service.py:700-723)."""
     import codecs
+
+    from vexor_spark.functions.text import charset_fallback_py
 
     if data is None:
         return None
@@ -134,9 +137,13 @@ def _decode_head(data: bytes | None, char_limit: int) -> str | None:
     try:
         text = codecs.getincrementaldecoder("utf-8")().decode(capped, final=False)
     except UnicodeDecodeError:
-        return None
-    if text == "":
-        return None
+        text = None
+    if not text:
+        # UTF-8 arm None on error AND empty decode; both take the
+        # fallback (content_extract_service.py:700-723).
+        text = charset_fallback_py(data)
+        if not text:
+            return None
     return _cleanup_snippet(text[:char_limit])
 
 

@@ -114,15 +114,21 @@ def embedding_near_dup_pairs(
     *,
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cos) — embedding-cosine near-duplicates: candidate
     pairs share a random-hyperplane LSH bucket (equi-join), verified by
     exact cosine ≥ threshold. The blocking join bounds the quadratic
-    pair space the way MinHash banding does for text."""
+    pair space the way MinHash banding does for text.
+
+    Pass `planes` or `dim` (planes are plan-time literals; deriving the
+    dimension from the data would need a driver round-trip inside the
+    operator, which we refuse by contract)."""
     if planes is None:
-        dim = len(emb.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError("embedding_near_dup_pairs: pass planes or dim")
         planes = hyperplanes(dim)
     bucketed = emb.select(
         F.col(id_col).cast("long").alias("id"),

@@ -141,13 +141,40 @@ def decode_utf8_head(data: bytes, char_limit: int) -> str | None:
     return text
 
 
+def charset_fallback(data: bytes) -> str | None:
+    """Non-UTF-8 arm: charset_normalizer best() over the FULL payload —
+    the reference's from_path reads the whole file
+    (content_extract_service.py:731-741)."""
+    try:
+        from charset_normalizer import from_bytes
+    except Exception:  # pragma: no cover
+        return None
+    try:
+        result = from_bytes(data)
+    except Exception:
+        return None
+    if result is None or not len(result):
+        return None
+    best = result.best()
+    if best is None:
+        return None
+    return str(best) or None
+
+
 def extract_text(html: bytes, char_limit: int = FULL_CHAR_LIMIT) -> str | None:
     """The `text` column contract: decode+cap (content_extract_service.py
-    :726-747 `_read_text_full` UTF-8 arm), then CRLF-normalize + strip
-    (content_extract_service.py:200 in `extract_full_chunks_with_lines`).
+    :726-747 `_read_text_full`, UTF-8 arm + charset_normalizer fallback),
+    then CRLF-normalize + strip (content_extract_service.py:200 in
+    `extract_full_chunks_with_lines`).
     """
     text = decode_utf8_head(html, char_limit)
     if text is None:
+        # The UTF-8 arm returns None on decode error AND empty decode;
+        # both take the fallback (content_extract_service.py:725-748).
+        text = charset_fallback(html)
+        if text is not None and char_limit > 0:
+            text = text[:char_limit]
+    if not text:
         return None
     normalized = text.replace("\r\n", "\n").strip()
     return normalized if normalized else None

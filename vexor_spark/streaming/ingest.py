@@ -52,8 +52,13 @@ def apply_pages_batch(
     latest = (
         batch_df.withColumn(
             "_rn",
+            # Secondary key: two same-url rows with EQUAL warc_ts in one
+            # micro-batch must pick a deterministic winner, or checkpoint
+            # replays of the batch would not converge to identical stores.
             F.row_number().over(
-                Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+                Window.partitionBy("url").orderBy(
+                    F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+                )
             ),
         )
         .filter(F.col("_rn") == 1)
