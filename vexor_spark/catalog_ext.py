@@ -26,7 +26,7 @@ from vexor_spark.operators.dedup import (
     near_dup_pairs,
     simhash_col,
 )
-from vexor_spark.operators.fusion import bm25_rank_df, dense_rank_df, rrf_fuse_df
+from vexor_spark.operators.fusion import rrf_topk
 from vexor_spark.operators.textstats import (
     BPE_PATTERN,
     HASH_MOD,
@@ -279,7 +279,11 @@ def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
     from vexor_spark.operators.scoring import bm25_contribution_col
 
     docs = docs_table(spark, sf_dir)
-    tokenized = tokenize_docs(docs.select("doc_id", F.col("text").alias("document")))
+    # lazy localCheckpoint: one tokenize pass feeds both the stats
+    # action and the scoring plan (see scoring.bm25_topk_multi).
+    tokenized = tokenize_docs(
+        docs.select("doc_id", F.col("text").alias("document"))
+    ).localCheckpoint(eager=False)
     stats = tokenized.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
     terms = prepare_query_terms(query)
@@ -289,7 +293,7 @@ def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .withColumn(
             "contribution",
             bm25_contribution_col(
@@ -307,23 +311,17 @@ def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
 
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion: dense = embedding cosine vs vec 0 (doc_id = vec_id),
-    lexical = BM25 for the flagship query; fused top-10."""
+    lexical = BM25 for the flagship query; fused top-10. Exact
+    candidate-bounded RRF — no full-corpus rank window (proof in
+    fusion.rrf_candidate_budget)."""
     emb = embeddings_table(spark, sf_dir)
     qv = _qvec(spark, sf_dir)
     dense_scored = emb.select(
         F.col("vec_id").cast("long").alias("doc_id"),
         sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
     )
-    dense = dense_rank_df(dense_scored)
-    bm25 = bm25_rank_df(_bm25_scores_docs(spark, sf_dir, FLAGSHIP_QUERY))
-    fused = rrf_fuse_df(dense, bm25).withColumn("fused", F.round("fused", RND))
-    w = Window.orderBy(F.desc("fused"), F.asc("doc_id"))
-    return (
-        fused.orderBy(F.desc("fused"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("rank", F.col("doc_id").cast("long").alias("doc_id"), "fused")
-    )
+    bm25 = _bm25_scores_docs(spark, sf_dir, FLAGSHIP_QUERY)
+    return rrf_topk(dense_scored, bm25, 10, round_dp=RND)
 
 
 def _sql_rrf_hybrid() -> str:
@@ -382,73 +380,110 @@ def q_weighted_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy `rerank=bm25` arm over the driver tables: dense candidates
     = top-20 by embedding cosine vs vec 0 (doc_id = vec_id), BM25L over
     the candidate texts, 0.7·sem_norm + 0.3·bm25l_norm
-    (search_service.py:199-218; BM25L formula per rank_bm25)."""
+    (search_service.py:199-218; BM25L per rank_bm25 INCLUDING the
+    absent-term baseline idf·(k1+1)·δ/(k1+δ) that every corpus-present
+    query term contributes to tf=0 docs).
+
+    Plan shape: candidate clamp = TakeOrderedAndProject (+ bounded
+    ≤20-row driver merge for rank positions, no corpus window); the
+    micro-corpus scoring is column algebra over the broadcast candidate
+    frame; scalar stats (avgdl, Σ baseline, maxes) fold in via 1-row
+    broadcast cross-joins instead of unpartitioned windows."""
     from vexor_spark.constants import BM25_B, BM25_K1
     from vexor_spark.operators.fusion import BM25L_DELTA
 
     emb = embeddings_table(spark, sf_dir)
     qv = _qvec(spark, sf_dir)
-    w = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
-    cand = (
+    cand_rows = (
         emb.select(
             F.col("vec_id").cast("long").alias("doc_id"),
             sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
         )
-        .withColumn("dense_rank", F.row_number().over(w))
-        .filter(F.col("dense_rank") <= RERANK_CAND)
-        .join(docs_table(spark, sf_dir).select("doc_id", "text"), "doc_id")
+        .orderBy(F.desc("dense_score"), F.asc("doc_id"))
+        .limit(RERANK_CAND)
+        .collect()
     )
-    tokenized = cand.withColumn("toks", tokenize_col("text")).withColumn(
-        "dl", F.size("toks").cast("double")
+    n_docs = float(len(cand_rows))
+    cand = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), i + 1, float(r["dense_score"]))
+            for i, r in enumerate(cand_rows)
+        ],
+        "doc_id long, dense_rank int, dense_score double",
     )
-    # candidate micro-corpus stats
-    w_all = Window.partitionBy()
-    tokenized = tokenized.withColumn("n_docs", F.count("*").over(w_all)).withColumn(
-        "avgdl", F.avg("dl").over(w_all)
+    tokenized = (
+        docs_table(spark, sf_dir)
+        .select("doc_id", "text")
+        .join(F.broadcast(cand), "doc_id")
+        .withColumn("toks", tokenize_col("text"))
+        .withColumn("dl", F.size("toks").cast("double"))
     )
+    stats = tokenized.agg(F.avg("dl").alias("avgdl"))
     qterms = [(t,) for t in prepare_query_terms(RERANK_QUERY)]
     qdf = spark.createDataFrame(qterms, "term string")
     tf = (
-        tokenized.select("doc_id", "dl", "n_docs", "avgdl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "n_docs", "avgdl", "term")
+        tokenized.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))
         .join(F.broadcast(qdf), "term")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # Per-term constants: idf and the absent-doc baseline C_t.
+    cpt = dfreq.withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 0.5))
+    ).withColumn(
+        "base",
+        F.col("idf")
+        * F.lit(BM25_K1 + 1.0)
+        * F.lit(BM25L_DELTA)
+        / F.lit(BM25_K1 + BM25L_DELTA),
+    )
+    total_base = cpt.agg(F.coalesce(F.sum("base"), F.lit(0.0)).alias("total_base"))
     ctd = F.col("tf") / (1.0 - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    # Present-term contribution MINUS its baseline; every doc then gets
+    # + Σ C_t so absent terms contribute exactly C_t (rank_bm25 BM25L).
     contrib = (
-        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 0.5))
+        F.col("idf")
         * F.lit(BM25_K1 + 1.0)
         * (ctd + F.lit(BM25L_DELTA))
         / (F.lit(BM25_K1) + ctd + F.lit(BM25L_DELTA))
+        - F.col("base")
     )
-    bm25l = (
-        tf.join(dfreq, "term")
+    present = (
+        tf.join(F.broadcast(cpt), "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn("c", contrib)
         .groupBy("doc_id")
-        .agg(F.sum("c").alias("bm"))
+        .agg(F.sum("c").alias("present"))
     )
     fused = (
-        tokenized.select("doc_id", "dense_rank", "dense_score")
-        .join(bm25l, "doc_id", "left")
+        cand.join(present, "doc_id", "left")
+        .crossJoin(F.broadcast(total_base))
+        .withColumn("bmv", F.col("total_base") + F.coalesce("present", F.lit(0.0)))
         .withColumn("sem", F.greatest(F.col("dense_score"), F.lit(0.0)))
-        .withColumn("bmv", F.coalesce("bm", F.lit(0.0)))
-        .withColumn("sem_max", F.max("sem").over(w_all))
-        .withColumn("bm_max", F.max("bmv").over(w_all))
+    )
+    maxes = fused.agg(
+        F.max("sem").alias("sem_max"), F.max("bmv").alias("bm_max")
+    )
+    scored = (
+        fused.crossJoin(F.broadcast(maxes))
         .withColumn(
             "score",
             F.round(
-                F.lit(0.7) * F.when(F.col("sem_max") > 0, F.col("sem") / F.col("sem_max")).otherwise(0.0)
-                + F.lit(0.3) * F.when(F.col("bm_max") > 0, F.col("bmv") / F.col("bm_max")).otherwise(0.0),
+                F.lit(0.7)
+                * F.when(F.col("sem_max") > 0, F.col("sem") / F.col("sem_max")).otherwise(0.0)
+                + F.lit(0.3)
+                * F.when(F.col("bm_max") > 0, F.col("bmv") / F.col("bm_max")).otherwise(0.0),
                 RND,
             ),
         )
+        .orderBy(F.desc("score"), F.asc("dense_rank"))
+        .limit(10)
+        .collect()
     )
-    w_final = Window.orderBy(F.desc("score"), F.asc("dense_rank"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w_final).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
+    return spark.createDataFrame(
+        [(i + 1, int(r["doc_id"]), float(r["score"])) for i, r in enumerate(scored)],
+        "rank long, doc_id long, score double",
     )
 
 
@@ -483,19 +518,29 @@ tf AS (
 ),
 matched AS (SELECT tf.* FROM tf JOIN qt USING (term)),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM matched GROUP BY term),
-bm25l AS (
+-- rank_bm25 BM25L: every corpus-present query term contributes
+-- idf*(k1+1)*(ctd+0.5)/(k1+ctd+0.5) to EVERY doc; tf=0 docs get the
+-- baseline C_t = idf*2.5*0.5/2.0. score = totalB + sum_present(f - C_t).
+cpt AS (
+  SELECT term, ln((s.n_docs + 1.0) / (df + 0.5)) AS idf,
+         ln((s.n_docs + 1.0) / (df + 0.5)) * 2.5 * 0.5 / 2.0 AS base
+  FROM dfreq CROSS JOIN stats s
+),
+total_base AS (SELECT coalesce(sum(base), 0.0) AS tb FROM cpt),
+present AS (
   SELECT m.doc_id, sum(
-    ln((s.n_docs + 1.0) / (d.df + 0.5)) * 2.5
+    c.idf * 2.5
     * ((m.tf / (0.25 + 0.75 * m.dl / s.avgdl)) + 0.5)
     / (1.5 + (m.tf / (0.25 + 0.75 * m.dl / s.avgdl)) + 0.5)
-  ) AS bm
-  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s GROUP BY m.doc_id
+    - c.base
+  ) AS pres
+  FROM matched m JOIN cpt c USING (term) CROSS JOIN stats s GROUP BY m.doc_id
 ),
 fused AS (
   SELECT c.doc_id, c.dense_rank,
          greatest(c.dense_score, 0.0) AS sem,
-         coalesce(b.bm, 0.0) AS bmv
-  FROM cand c LEFT JOIN bm25l b USING (doc_id)
+         t.tb + coalesce(p.pres, 0.0) AS bmv
+  FROM cand c LEFT JOIN present p USING (doc_id) CROSS JOIN total_base t
 ),
 normed AS (
   SELECT doc_id, dense_rank,
@@ -831,13 +876,10 @@ def q_keyword_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    return (
-        counted.orderBy(F.desc("cnt"), F.asc("term"))
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("rank", "term", "cnt")
-    )
+    from vexor_spark.plans.topk import take_ranked
+
+    ranked = take_ranked(counted, [F.desc("cnt"), F.asc("term")], 20)
+    return ranked.select("rank", "term", "cnt")
 
 
 def _sql_keyword_top20() -> str:

@@ -20,14 +20,12 @@ ARMS = ("off", "bm25", "hybrid")
 
 def _ranked_urls(index: InMemoryIndex, arm: str, query: str, top: int) -> list[str]:
     if arm == "off":
-        from pyspark.sql import Window
+        from vexor_spark.plans.topk import take_ranked
 
-        w = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
-        ranked = (
-            dense_scores(index.docs, query)
-            .orderBy(F.desc("dense_score"), F.asc("doc_id"))
-            .limit(top)
-            .withColumn("rank", F.row_number().over(w))
+        ranked = take_ranked(
+            dense_scores(index.docs, query),
+            [F.desc("dense_score"), F.asc("doc_id")],
+            top,
         )
     elif arm == "bm25":
         ranked = weighted_rerank_search(index, query, top)

@@ -20,7 +20,7 @@ zero-idf on tiny candidate sets", :185-196).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vexor_spark.constants import (
@@ -60,45 +60,117 @@ def letter_cosine_col(text: Column, query_text: str) -> Column:
     return F.when(sq > 0, dot / (F.sqrt(sq) * F.lit(qnorm))).otherwise(F.lit(0.0))
 
 
-def dense_rank_df(scored: DataFrame, score_col: str = "dense_score") -> DataFrame:
-    """(doc_id, dense_rank) — rank by (score desc, doc_id asc), all docs
-    (the reference ranks the full corpus dense order, bm25.py:102-104)."""
-    w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
-    return scored.select("doc_id", F.row_number().over(w).alias("dense_rank"))
+def rrf_candidate_budget(k: int, w_dense: float = RRF_DENSE_WEIGHT, rrf_k: int = RRF_K) -> int:
+    """Smallest per-leg candidate count T that makes bounded RRF exact.
+
+    Bound argument (the scale-safe replacement for ranking the FULL
+    corpus through a single-partition window): let K = rrf_k and
+    C = dense-top-T ∪ bm25-top-T (positive scores only, both legs
+    ordered by (score desc, doc_id asc)). For any doc x ∉ C both leg
+    ranks exceed T, so
+
+        fused(x) < (w_dense + w_bm25)·(K+1)/(K+T) = (K+1)/(K+T).
+
+    The dense leg ranks EVERY doc (bm25.py:102-104), so for any
+    d ≤ T the dense-top-d docs are all in C and each has
+
+        fused ≥ w_dense·(K+1)/(K+d)  ≥  (K+1)/(K+T)   iff  d ≤ w_dense·(K+T) − K.
+
+    Choosing T with ⌊w_dense·(K+T)⌋ − K ≥ k guarantees ≥ k candidates
+    whose exact fused score is STRICTLY above every non-candidate —
+    ties cannot rescue x because the inequality chain is strict on x's
+    side. Hence the global fused top-k ⊆ C, and computing exact leg
+    ranks for C alone reproduces the full computation's top-k exactly.
+    Solving: T = ⌈(K + k)/w_dense⌉ − K (= 40 for k=10, K=60, w=0.7).
+    When the corpus has ≤ T docs, C is the whole corpus and the claim
+    is trivial.
+    """
+    import math
+
+    return max(k, int(math.ceil((rrf_k + k) / w_dense)) - rrf_k)
 
 
-def bm25_rank_df(scored: DataFrame, score_col: str = "score") -> DataFrame:
-    """(doc_id, bm25_rank) over POSITIVE scores only (bm25.py:105-112)."""
-    positive = scored.filter(F.col(score_col) > 0)
-    w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
-    return positive.select("doc_id", F.row_number().over(w).alias("bm25_rank"))
+def _exact_leg_ranks(
+    leg: DataFrame, score_col: str, cand_scores: dict[int, float]
+) -> dict[int, int]:
+    """Exact rank of each candidate within a scored leg, WITHOUT a
+    global sort: rank(c) = 1 + #{rows beating c}, computed as one
+    map-side conditional-count aggregation pass (|C| counters, partial
+    aggregation per partition, one tiny reduced row). No shuffle of the
+    leg itself, no single-partition window."""
+    if not cand_scores:
+        return {}
+    s, i = F.col(score_col), F.col("doc_id")
+    aggs = [
+        F.count(
+            F.when((s > F.lit(cs)) | ((s == F.lit(cs)) & (i < F.lit(cid))), True)
+        ).alias(f"c{cid}")
+        for cid, cs in cand_scores.items()
+    ]
+    row = leg.agg(*aggs).collect()[0]
+    return {cid: int(row[f"c{cid}"]) + 1 for cid in cand_scores}
 
 
-def rrf_fuse_df(
-    dense_ranked: DataFrame,
-    bm25_ranked: DataFrame,
+def rrf_topk(
+    dense_scored: DataFrame,
+    bm25_scored: DataFrame,
+    k: int = 10,
     *,
-    k: int = RRF_K,
+    w_dense: float = RRF_DENSE_WEIGHT,
+    w_bm25: float = RRF_BM25_WEIGHT,
+    rrf_k: int = RRF_K,
+    round_dp: int | None = None,
 ) -> DataFrame:
-    """(doc_id, fused) — weighted RRF via full-outer join + coalesce."""
-    kk = float(k)
-    fused = (
-        dense_ranked.join(bm25_ranked, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(
-                    F.lit(RRF_DENSE_WEIGHT) * (kk + 1.0) / (kk + F.col("dense_rank")),
-                    F.lit(0.0),
-                )
-                + F.coalesce(
-                    F.lit(RRF_BM25_WEIGHT) * (kk + 1.0) / (kk + F.col("bm25_rank")),
-                    F.lit(0.0),
-                )
-            ).alias("fused"),
-        )
-    )
-    return fused
+    """(rank, doc_id, fused) — exact weighted-RRF top-k
+    (vexor/bm25.py:92-115) without ranking the full corpus.
+
+    Inputs: dense_scored(doc_id, dense_score) over ALL docs,
+    bm25_scored(doc_id, score). Per leg this runs (a) a TakeOrdered
+    top-T (T = rrf_candidate_budget, proof there), (b) a bounded
+    IN-filter fetch of scores for candidates sourced from the other
+    leg, (c) one conditional-count aggregation for exact ranks — all
+    linear map-side passes, no global sort, no window shuffle. The
+    ≤ 2T candidates are fused and ranked on the driver (the same
+    bounded driver merge TakeOrderedAndProject itself performs).
+    """
+    spark = dense_scored.sparkSession
+    schema = "rank long, doc_id long, fused double"
+    T = rrf_candidate_budget(k, w_dense, rrf_k)
+    dtop = dense_scored.orderBy(F.desc("dense_score"), F.asc("doc_id")).limit(T).collect()
+    bpos = bm25_scored.filter(F.col("score") > 0)
+    btop = bpos.orderBy(F.desc("score"), F.asc("doc_id")).limit(T).collect()
+    dmap = {int(r["doc_id"]): float(r["dense_score"]) for r in dtop}
+    bmap = {int(r["doc_id"]): float(r["score"]) for r in btop}
+    cands = set(dmap) | set(bmap)
+    if not cands:
+        return spark.createDataFrame([], schema)
+    # Bounded (≤T-row) fetches of leg scores for cross-sourced candidates.
+    miss_d = [c for c in cands if c not in dmap]
+    if miss_d:
+        for r in dense_scored.filter(F.col("doc_id").isin(miss_d)).collect():
+            dmap[int(r["doc_id"])] = float(r["dense_score"])
+    miss_b = [c for c in cands if c not in bmap]
+    if miss_b:
+        for r in bpos.filter(F.col("doc_id").isin(miss_b)).collect():
+            bmap[int(r["doc_id"])] = float(r["score"])
+    dranks = _exact_leg_ranks(dense_scored, "dense_score", {c: dmap[c] for c in cands if c in dmap})
+    branks = _exact_leg_ranks(bpos, "score", {c: bmap[c] for c in cands if c in bmap})
+    kk = float(rrf_k)
+    fused: list[tuple[int, float]] = []
+    for c in cands:
+        f = 0.0
+        if c in dranks:
+            f += w_dense * (kk + 1.0) / (kk + dranks[c])
+        if c in branks:
+            f += w_bm25 * (kk + 1.0) / (kk + branks[c])
+        if round_dp is not None:
+            from vexor_spark.functions.rounding import round_half_up
+
+            f = round_half_up(f, round_dp)  # == F.round, see rounding.py
+        fused.append((c, f))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    rows = [(r + 1, c, f) for r, (c, f) in enumerate(fused[:k])]
+    return spark.createDataFrame(rows, schema)
 
 
 # --- BM25L (legacy rerank lexical leg) ------------------------------------
@@ -121,8 +193,3 @@ def bm25l_contribution_col(tf, doc_len, df, n_docs: float, avg_doc_len: float) -
     )
 
 
-def normalize_by_max_col(score: Column) -> Column:
-    """score / max(score) over the whole frame; 0 when max <= 0
-    (search_service.py:162-168)."""
-    mx = F.max(score).over(Window.partitionBy())
-    return F.when(mx > 0, score / mx).otherwise(F.lit(0.0))

@@ -88,18 +88,18 @@ def top_k(scored: DataFrame, k: int, *, round_dp: int | None = None) -> DataFram
     order (used only by the SQL-oracle parity harness; the engine path
     keeps full doubles).
     """
+    from vexor_spark.plans.topk import take_ranked
+
     score = F.col("score")
     if round_dp is not None:
         scored = scored.withColumn("score", F.round(score, round_dp))
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    # limit+orderBy compiles to TakeOrderedAndProject (partial per-
-    # partition top-k, merged on the driver) — no global sort.
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return ordered.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "score"
+    # orderBy+limit compiles to TakeOrderedAndProject (partial per-
+    # partition top-k, merged on the driver) — no global sort; rank
+    # positions assigned in the same bounded driver merge (plans/topk.py).
+    ranked = take_ranked(
+        scored.select("doc_id", "score"), [F.desc("score"), F.asc("doc_id")], k
     )
+    return ranked.select("rank", "doc_id", "score")
 
 
 def bm25_topk_from_docs(
@@ -146,8 +146,14 @@ def bm25_topk_multi(
         for name, q in queries.items()
         for t in prepare_query_terms(q)
     ]
-    tokenized = tokenize_docs(docs.select(F.col(doc_id_col).alias("doc_id"),
-                                          F.col(text_col).alias("document")))
+    # localCheckpoint (lazy): the stats action below materializes the
+    # tokenized corpus ONCE to executor-local storage; the scoring plan
+    # then reads the checkpoint instead of re-running the tokenizer —
+    # one tokenize pass per batch instead of two, with no persist
+    # lingering past DataFrame GC (no CacheManager plan-reuse leaks).
+    tokenized = tokenize_docs(
+        docs.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("document"))
+    ).localCheckpoint(eager=False)
     stats = tokenized.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
@@ -158,7 +164,9 @@ def bm25_topk_multi(
     tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens"))
     matched = tf.join(F.broadcast(qdf), "term")
     # df per term over matched rows == full-corpus document frequency
-    # (tf has exactly one row per (doc, term)).
+    # (tf has exactly one row per (doc, term)). ≤ 32·|queries| rows →
+    # broadcast back; without the hint Catalyst can't see the bound and
+    # plans a SortMergeJoin that re-shuffles every matched row.
     dfreq = matched.groupBy("query", "term").agg(F.count("*").alias("df"))
     contrib = bm25_contribution_col(
         F.col("tf").cast("double"),
@@ -168,7 +176,7 @@ def bm25_topk_multi(
         float(avg_doc_len),
     )
     scored = (
-        matched.join(dfreq, ["query", "term"])
+        matched.join(F.broadcast(dfreq), ["query", "term"])
         .withColumn("contribution", contrib)
         .groupBy("query", "doc_id")
         .agg(F.sum("contribution").alias("score"))

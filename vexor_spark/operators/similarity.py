@@ -65,20 +65,16 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_dp: int | None = None,
 ) -> DataFrame:
-    """(rank, vec_id, cos) — brute-force cosine top-k, ties by id asc."""
-    from pyspark.sql import Window
+    """(rank, vec_id, cos) — brute-force cosine top-k, ties by id asc.
+    TakeOrderedAndProject + bounded driver rank (plans/topk.py)."""
+    from vexor_spark.plans.topk import take_ranked
 
     cos = cosine_lit_col(F.col(vec_col), query)
     scored = emb.select(F.col(id_col).cast("long").alias(id_col), cos.alias("cos"))
     if round_dp is not None:
         scored = scored.withColumn("cos", F.round("cos", round_dp))
-    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.orderBy(F.desc("cos"), F.asc(id_col))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("rank", id_col, "cos")
-    )
+    ranked = take_ranked(scored, [F.desc("cos"), F.asc(id_col)], k)
+    return ranked.select("rank", id_col, "cos")
 
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:

@@ -364,10 +364,14 @@ def bm25l_scores(
     query_terms: Sequence[str],
     docs_tokens: Sequence[Sequence[str]],
 ) -> list[float]:
-    """BM25L over a candidate micro-corpus (rank_bm25's formula, used by
-    the legacy rerank arm, search_service.py:185-196): idf =
-    ln((N+1)/(df+0.5)); ctd = tf/(1-b+b·dl/avgdl);
-    s += idf·(k1+1)·(ctd+0.5)/(k1+ctd+0.5)."""
+    """BM25L over a candidate micro-corpus (rank_bm25's BM25L — the
+    reference's actual dependency, search_service.py:185-196):
+    idf = ln((N+1)/(df+0.5)); ctd = tf/(1-b+b·dl/avgdl);
+    s += idf·(k1+1)·(ctd+δ)/(k1+ctd+δ), δ = 0.5, summed over EVERY
+    query token — including tf=0 docs, which receive the nonzero
+    baseline idf·(k1+1)·δ/(k1+δ) per term (rank_bm25's get_scores adds
+    the (ctd+δ)/(k1+ctd+δ) factor for all docs; only terms absent from
+    the whole corpus contribute 0 via `idf.get(q) or 0`)."""
     n = len(docs_tokens)
     if n == 0:
         return []
@@ -376,18 +380,21 @@ def bm25l_scores(
     for toks in docs_tokens:
         for t in set(toks):
             df[t] = df.get(t, 0) + 1
+    delta = 0.5
     out = []
     for toks in docs_tokens:
         counts = Counter(toks)
         dl = len(toks)
         s = 0.0
         for q in query_terms:
+            if q not in df:
+                continue  # idf.get(q) or 0 → zero contribution
             tf = counts.get(q, 0)
-            if tf == 0 or q not in df:
-                continue
             idf = math.log((n + 1) / (df[q] + 0.5))
+            # avgdl == 0 ⇒ every doc is empty; rank_bm25 would 0/0 here,
+            # we pin ctd = 0 (all docs then share the pure baseline).
             ctd = tf / (1 - BM25_B + BM25_B * dl / avgdl) if avgdl > 0 else 0.0
-            s += idf * (BM25_K1 + 1.0) * (ctd + 0.5) / (BM25_K1 + ctd + 0.5)
+            s += idf * (BM25_K1 + 1.0) * (ctd + delta) / (BM25_K1 + ctd + delta)
         out.append(s)
     return out
 

@@ -7,28 +7,40 @@ reference's own test oracle (tests/integration/test_end_to_end.py:15-30)
 — embedding each chunk's LABEL (what the reference embeds,
 index_service.py:1035) and the query, ranked by cosine with stable
 doc_id tie-break (search_service.py:594).
+
+Plan shapes (round-2 rework, no full-corpus single-partition windows):
+
+- `hybrid_search` uses fusion.rrf_topk — candidate-bounded exact RRF
+  with a written sufficiency proof (fusion.rrf_candidate_budget); each
+  leg is scanned by linear map-side passes only.
+- `weighted_rerank_search` clamps candidates with orderBy().limit(n)
+  (TakeOrderedAndProject — distributed partial top-k, driver merge)
+  and finishes the ≤150-row micro-corpus rerank on the driver — the
+  reference's own architecture (search_service.py:199-218 reranks the
+  candidate list in-process), so no persist/unpersist hazard and no
+  window over the corpus. The distributed column-algebra variant of
+  the same math lives in catalog_ext.q_weighted_rerank (oracle-gated).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vexor_spark.constants import (
+    BM25_B,
+    BM25_K1,
+    FUSION_SEMANTIC_WEIGHT,
     RERANK_CANDIDATE_MAX,
     RERANK_CANDIDATE_MIN,
-    FUSION_SEMANTIC_WEIGHT,
+    TOKEN_PATTERN,
 )
-from vexor_spark.functions.text import page_name_col
 from vexor_spark.index.build import InMemoryIndex
-from vexor_spark.functions.tokenize import tokenize_col
-from vexor_spark.operators.fusion import (
-    bm25_rank_df,
-    bm25l_contribution_col,
-    dense_rank_df,
-    letter_cosine_col,
-    rrf_fuse_df,
-)
+from vexor_spark.operators.fusion import BM25L_DELTA, letter_cosine_col, rrf_topk
 from vexor_spark.operators.scoring import score_postings_df
 
 
@@ -41,19 +53,12 @@ def dense_scores(docs: DataFrame, query: str) -> DataFrame:
 
 def hybrid_search(index: InMemoryIndex, query: str, k: int = 10) -> DataFrame:
     """(rank, doc_id, score) — RRF fusion of dense + BM25 (bm25.py:92-115,
-    top-k by (fused desc, doc_id asc) per search_service.py:176-182)."""
-    dense = dense_rank_df(dense_scores(index.docs, query))
-    bm25 = bm25_rank_df(
-        score_postings_df(index.postings, query, index.doc_count, index.avg_doc_len)
-    )
-    fused = rrf_fuse_df(dense, bm25)
-    w = Window.orderBy(F.desc("fused"), F.asc("doc_id"))
-    return (
-        fused.orderBy(F.desc("fused"), F.asc("doc_id"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", F.col("fused").alias("score"))
-    )
+    top-k by (fused desc, doc_id asc) per search_service.py:176-182).
+    Exact via the bounded-candidate argument in fusion.rrf_candidate_budget."""
+    dense = dense_scores(index.docs, query)
+    bm25 = score_postings_df(index.postings, query, index.doc_count, index.avg_doc_len)
+    fused = rrf_topk(dense, bm25, k)
+    return fused.select("rank", "doc_id", F.col("fused").alias("score"))
 
 
 def resolve_rerank_candidates(top_k: int) -> int:
@@ -61,109 +66,98 @@ def resolve_rerank_candidates(top_k: int) -> int:
     return max(RERANK_CANDIDATE_MIN, min(int(top_k * 2), RERANK_CANDIDATE_MAX))
 
 
+def bm25l_scores_py(
+    query_tokens: list[str], docs_tokens: list[list[str]]
+) -> list[float]:
+    """rank_bm25's BM25L over the candidate micro-corpus
+    (search_service.py:185-196): every query token contributes
+    idf·(k1+1)·(ctd+δ)/(k1+ctd+δ) to EVERY doc — docs without the term
+    (ctd=0) receive the nonzero baseline idf·(k1+1)·δ/(k1+δ); terms
+    absent from the corpus contribute 0 (`idf.get(q) or 0`)."""
+    n = len(docs_tokens)
+    if n == 0:
+        return []
+    avgdl = sum(len(t) for t in docs_tokens) / n
+    df: Counter = Counter()
+    for toks in docs_tokens:
+        df.update(set(toks))
+    counts = [Counter(toks) for toks in docs_tokens]
+    out = []
+    for toks, cnt in zip(docs_tokens, counts):
+        dl = len(toks)
+        s = 0.0
+        for q in query_tokens:
+            if q not in df:
+                continue
+            tf = cnt.get(q, 0)
+            idf = math.log((n + 1) / (df[q] + 0.5))
+            ctd = tf / (1 - BM25_B + BM25_B * dl / avgdl) if avgdl > 0 else 0.0
+            s += idf * (BM25_K1 + 1.0) * (ctd + BM25L_DELTA) / (BM25_K1 + ctd + BM25L_DELTA)
+        out.append(s)
+    return out
+
+
+def _normalize_by_max(scores: list[float]) -> list[float]:
+    """search_service.py:162-168."""
+    if not scores:
+        return []
+    mx = max(scores)
+    if mx <= 0:
+        return [0.0 for _ in scores]
+    return [s / mx for s in scores]
+
+
 def weighted_rerank_search(index: InMemoryIndex, query: str, k: int = 10) -> DataFrame:
     """(rank, doc_id, score) — legacy `rerank=bm25` arm: dense candidate
     clamp, BM25L over the candidate micro-corpus, 0.7/0.3 weighted sum of
     max-normalized scores (search_service.py:199-218), stable ties by
     dense order.
+
+    The clamp is a distributed TakeOrderedAndProject (no corpus-wide
+    window); the ≤150 candidates are then reranked on the driver exactly
+    as the reference does. Bounded driver work: n_cand ≤ 150 rows.
     """
+    spark = index.docs.sparkSession
+    schema = "rank long, doc_id long, score double"
     n_cand = resolve_rerank_candidates(k)
-    dense = dense_scores(index.docs, query)
-    w_dense = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
-    candidates = (
-        dense.withColumn("dense_rank", F.row_number().over(w_dense))
-        .filter(F.col("dense_rank") <= n_cand)
+    cand_rows = (
+        dense_scores(index.docs, query)
         .join(index.docs.select("doc_id", "url", "preview"), "doc_id")
+        .orderBy(F.desc("dense_score"), F.asc("doc_id"))
+        .limit(n_cand)
+        .collect()
     )
+    if not cand_rows:
+        return spark.createDataFrame([], schema)
+
+    # Legacy arm: RAW query token list — duplicates counted, no 32-cap
+    # (search_service.py:203-208).
+    qtoks = re.findall(TOKEN_PATTERN, query.lower())
+    if not qtoks:
+        rows = [
+            (i + 1, int(r["doc_id"]), float(r["dense_score"]))
+            for i, r in enumerate(cand_rows[:k])
+        ]
+        return spark.createDataFrame(rows, schema)
+
     # rerank document: "{name} {path} {preview}".strip()
     # (search_service.py:158-160); tokenized with the regex path (T2
     # equals T1 when `tokenizers` is absent).
-    rerank_doc = F.trim(
-        F.concat_ws(
-            " ", page_name_col(F.col("url")), F.col("url"), F.coalesce("preview", F.lit(""))
-        )
-    )
-    tokenized = candidates.withColumn("tokens", tokenize_col(rerank_doc)).withColumn(
-        "doc_len", F.size("tokens")
-    )
-    tokenized = tokenized.persist()
-    stats = tokenized.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
-
-    # Legacy arm uses the RAW query token list — duplicates counted,
-    # no 32-term cap (search_service.py:203-208). Multiplicity becomes a
-    # weight on the per-term contribution.
-    import re
-    from collections import Counter
-
-    from vexor_spark.constants import TOKEN_PATTERN
-
-    qtoks = re.findall(TOKEN_PATTERN, query.lower())
-    qmult = Counter(qtoks)
-    spark = index.docs.sparkSession
-    if not qtoks or n_docs == 0 or avgdl <= 0:
-        w = Window.orderBy(F.desc("dense_score"), F.asc("doc_id"))
-        return (
-            tokenized.orderBy(F.desc("dense_score"), F.asc("doc_id"))
-            .limit(k)
-            .withColumn("rank", F.row_number().over(w))
-            .select("rank", "doc_id", F.col("dense_score").alias("score"))
-        )
-    qdf = spark.createDataFrame(
-        [(t, float(m)) for t, m in qmult.items()], "term string, q_mult double"
-    )
-    tf = (
-        tokenized.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "doc_len", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-        .join(F.broadcast(qdf), "term")
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    bm25l = (
-        tf.join(dfreq, "term")
-        .withColumn(
-            "contribution",
-            F.col("q_mult")
-            * bm25l_contribution_col(
-                F.col("tf"), F.col("doc_len").cast("double"), F.col("df"),
-                float(n_docs), avgdl,
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("bm25l_score"))
-    )
-    w_all = Window.partitionBy()
-    fused = (
-        tokenized.select("doc_id", "dense_rank", "dense_score")
-        .join(bm25l, "doc_id", "left")
-        .withColumn("sem", F.greatest(F.col("dense_score"), F.lit(0.0)))
-        .withColumn("bm", F.coalesce("bm25l_score", F.lit(0.0)))
-        .withColumn("sem_max", F.max("sem").over(w_all))
-        .withColumn("bm_max", F.max("bm").over(w_all))
-        .withColumn(
-            "sem_norm",
-            F.when(F.col("sem_max") > 0, F.col("sem") / F.col("sem_max")).otherwise(0.0),
-        )
-        .withColumn(
-            "bm_norm",
-            F.when(F.col("bm_max") > 0, F.col("bm") / F.col("bm_max")).otherwise(0.0),
-        )
-        .withColumn(
-            "score",
-            F.lit(FUSION_SEMANTIC_WEIGHT) * F.col("sem_norm")
-            + F.lit(1.0 - FUSION_SEMANTIC_WEIGHT) * F.col("bm_norm"),
-        )
-    )
+    docs_tokens = []
+    for r in cand_rows:
+        url = r["url"]
+        name = url.rstrip("/").rsplit("/", 1)[-1] or url
+        doc = f"{name} {url} {r['preview'] or ''}".strip()
+        docs_tokens.append(re.findall(TOKEN_PATTERN, doc.lower()))
+    bm = bm25l_scores_py(qtoks, docs_tokens)
+    sem = _normalize_by_max([max(float(r["dense_score"]), 0.0) for r in cand_rows])
+    bm_n = _normalize_by_max(bm)
+    fused = [
+        (int(r["doc_id"]), FUSION_SEMANTIC_WEIGHT * s + (1.0 - FUSION_SEMANTIC_WEIGHT) * b)
+        for r, s, b in zip(cand_rows, sem, bm_n)
+    ]
     # Python's sort is stable: equal fused scores keep candidate (dense)
-    # order (search_service.py:217) → tie-break by dense_rank.
-    w_final = Window.orderBy(F.desc("score"), F.asc("dense_rank"))
-    result = (
-        fused.orderBy(F.desc("score"), F.asc("dense_rank"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w_final))
-        .select("rank", "doc_id", "score")
-    )
-    tokenized.unpersist()
-    return result
+    # order (search_service.py:217).
+    fused.sort(key=lambda t: -t[1])
+    rows = [(i + 1, d, s) for i, (d, s) in enumerate(fused[:k])]
+    return spark.createDataFrame(rows, schema)
