@@ -27,7 +27,11 @@ from vexor_spark.operators.textstats import lang_id_col, quality_score_col
 def dup_corpus(spark):
     base = [
         (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
-        (1, "spark executors shuffle partitions across the cluster during wide stages"),
+        # long enough that a one-word edit keeps shingle Jaccard ≈ 0.9,
+        # so the expected shared-signature count (8·J) is robustly ≥ 4
+        (1, "spark executors shuffle partitions across the cluster during wide stages "
+            "while the scheduler assigns tasks to free cores and the block manager "
+            "streams shuffle files between nodes under backpressure from memory limits"),
         (2, "posting lists compress well with delta gaps and variable length integers"),
         (3, "completely unrelated text about cooking pasta with garlic and olive oil"),
     ]

@@ -60,3 +60,48 @@ def test_hot_term_salted_and_streamed(spark, tmp_path):
     assert sum(b["n"] for b in blocks) == hot_df
     assert all(b["df"] == hot_df for b in blocks)
     assert len(blocks) == (hot_df + 127) // 128
+
+
+def test_lsh_hot_bucket_cap_output_identical(spark):
+    """A planted boilerplate bucket (300 identical docs -> every band
+    key collides) must produce the exact same candidate pairs with the
+    chunked max_bucket routing as with the plain self-join, while no
+    join task carries the full m x m bucket."""
+    from pyspark.sql import functions as F
+
+    from vexor_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_pairs,
+    )
+
+    hot = [(i, ["the", "same", "boilerplate", "page", "text"] * 3) for i in range(300)]
+    cold = [
+        (1000 + i, [f"unique{i}w{j}" for j in range(12)]) for i in range(50)
+    ]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, tokens array<string>")
+    sigs = minhash_signatures(docs, "tokens")
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=16).collect()
+    }
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=None).collect()
+    }
+    assert capped == plain
+    # the hot bucket contributes all C(300,2) pairs
+    assert sum(1 for a, b in capped if a < 300 and b < 300) == 300 * 299 // 2
+
+    # end-to-end: verified near-dup pairs identical under the cap
+    nd_capped = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in near_dup_pairs(docs, max_bucket=16).collect()
+    }
+    nd_plain = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in near_dup_pairs(docs, max_bucket=None).collect()
+    }
+    assert nd_capped == nd_plain
+    assert len(nd_capped) >= 300 * 299 // 2

@@ -55,13 +55,19 @@ _POLY = (
     " (a,b) -> (a*31+b)%2147483647)"
 )
 
-SQL_SHINGLES = """
-sh AS (
-  SELECT doc_id, CASE WHEN len(toks) >= 3
-    THEN list_transform(generate_series(1, len(toks)-2),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-    ELSE [array_to_string(toks, ' ')] END AS shingles
-  FROM tok
+# Shingle identity = fold of the tokens' poly hashes, (a*31+h) % M —
+# matches dedup.shingle_hashes_col exactly (incl. 0-seed ≡ list_reduce
+# first-element seeding, and whole-doc fold / 0 for short/empty docs).
+SQL_SHINGLE_HASHES = """
+th AS (SELECT doc_id, list_transform(toks, t -> {poly_t}) AS th FROM tok),
+hs AS (
+  SELECT doc_id, CASE WHEN len(th) >= 3
+    THEN list_transform(generate_series(1, len(th)-2),
+         i -> ((th[i]*31 + th[i+1]) % 2147483647 * 31 + th[i+2]) % 2147483647)
+    ELSE [CASE WHEN len(th) = 0 THEN 0
+               ELSE list_reduce(th, (a,b) -> (a*31+b) % 2147483647) END]
+    END AS hashes
+  FROM th
 )"""
 
 SQL_DOT = (
@@ -605,8 +611,7 @@ def _sql_minhash_sigs() -> str:
     )
     return f"""WITH dd AS ({SQL_DUP_DOCS}),
 tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks FROM dd),
-{SQL_SHINGLES.strip().rstrip()},
-hs AS (SELECT doc_id, list_transform(shingles, s -> {_POLY.format(s='s')}) AS hashes FROM sh)
+{SQL_SHINGLE_HASHES.format(poly_t=_POLY.format(s='t')).strip()}
 SELECT doc_id::BIGINT AS doc_id,
        {sig_exprs}
 FROM hs"""
@@ -629,18 +634,17 @@ def _sql_near_dup_pairs() -> str:
         )
         band_exprs.append(f"'{b}:' || {parts}")
     bands_list = "[" + ", ".join(band_exprs) + "]"
+    shingle_cte = SQL_SHINGLE_HASHES.format(poly_t=_POLY.format(s="t")).strip()
     return f"""WITH sigs AS ({_sql_minhash_sigs()}),
-tok2 AS (
+tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks
   FROM ({SQL_DUP_DOCS})
 ),
-sh2 AS (
-  SELECT doc_id, CASE WHEN len(toks) >= 3
-    THEN list_transform(generate_series(1, len(toks)-2),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-    ELSE [array_to_string(toks, ' ')] END AS shingles
-  FROM tok2
-),
+{shingle_cte},
+-- int64 shingle-hash sets: identical composition to the engine's
+-- shingle_hashes_col, so Jaccard (incl. any hash collisions) is
+-- computed over identical sets on both sides.
+shh AS (SELECT doc_id, list_distinct(hashes) AS hs FROM hs),
 keyed AS (SELECT doc_id, unnest({bands_list}) AS band_key FROM sigs),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -648,11 +652,11 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-    (len(list_filter(list_distinct(a.shingles), x -> list_contains(list_distinct(b.shingles), x)))::DOUBLE)
-    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
-       - len(list_filter(list_distinct(a.shingles), x -> list_contains(list_distinct(b.shingles), x))))::DOUBLE
+    (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
+    / (len(a.hs) + len(b.hs)
+       - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
     AS jaccard
-  FROM cand c JOIN sh2 a ON c.doc_a = a.doc_id JOIN sh2 b ON c.doc_b = b.doc_id
+  FROM cand c JOIN shh a ON c.doc_a = a.doc_id JOIN shh b ON c.doc_b = b.doc_id
 )
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, round(jaccard, {RND}) AS jaccard
 FROM verified WHERE jaccard >= 0.8"""

@@ -10,10 +10,14 @@ Scale notes:
 - exact dedup is one groupBy(fingerprint) — map-side combine applies.
 - MinHash banding turns near-dup detection into an equi-join on band
   keys: docs sharing any band bucket become candidate pairs. Bucket
-  sizes are bounded in practice by signature entropy; a hot bucket
-  (e.g. boilerplate pages) self-joins quadratically, so production
-  runs cap bucket size (`max_bucket` below) and route oversized
-  buckets to exact-jaccard verification in chunks.
+  sizes are bounded in practice by signature entropy, but a hot bucket
+  (boilerplate pages) self-joins quadratically IN ONE TASK without a
+  cap: `max_bucket` chunks each bucket so no join task exceeds
+  max_bucket × bucket_size rows (lsh_candidate_pairs docstring) —
+  identical output, bounded per-task skew.
+- Verification joins carry int64 SHINGLE HASHES, not shingle strings:
+  the shuffled payload per doc is 8 bytes/shingle instead of the full
+  n-gram text, and array_intersect/union compare longs.
 - SimHash gives a 16-bit partition key whose Hamming neighbors can be
   enumerated for blocking.
 """
@@ -22,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vexor_spark.operators.textstats import HASH_MOD, poly_hash_col
@@ -36,48 +40,99 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 SIMHASH_BITS = 16
 
 
-def shingles_col(tokens: Column, n: int = 3) -> Column:
-    """Token n-gram shingles (space-joined); docs shorter than n yield
-    one whole-doc shingle."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+def shingle_hashes_from(th: Column, n: int = 3) -> Column:
+    """array<long> of n-gram shingle hashes given a PRE-COMPUTED
+    token-hash array column; docs shorter than n yield one whole-doc
+    hash.
+
+    A shingle's identity is the fold H = foldl(hs, 0, (a,h) → (a·31+h)
+    mod M) over its tokens' poly hashes — NOT a re-hash of the n-gram
+    STRING, so the per-character work happens once per token. The gram
+    fold is plain column arithmetic over element_at. The DuckDB
+    oracles compose identically, so hashes (and any collisions) agree
+    bit-for-bit.
+
+    `th` MUST be a materialized column attribute (see
+    shingle_hash_rows), NOT an inline transform(...) expression:
+    lambda-function expressions are CodegenFallback and get no
+    common-subexpression elimination, so inlining one into every
+    element_at would re-hash the whole token array per gram element —
+    O(tokens²) per doc (measured 25× slower at sf0.1)."""
+
+    def gram(i):
+        h = F.element_at(th, (i + 1).cast("int"))
+        for j in range(1, n):
+            h = (h * 31 + F.element_at(th, (i + j + 1).cast("int"))) % HASH_MOD
+        return h
+
+    grams = F.transform(F.sequence(F.lit(0), F.size(th) - n), gram)
+    # whole-doc arm: same fold over ALL token hashes (0-seed ≡ DuckDB's
+    # first-element-seeded list_reduce since 0·31+h = h); empty doc → 0.
+    whole = F.array(
+        F.aggregate(th, F.lit(0).cast("long"), lambda a, h: (a * 31 + h) % HASH_MOD)
     )
-    whole = F.array(F.concat_ws(" ", tokens))
-    return F.when(F.size(tokens) >= n, grams).otherwise(whole)
+    return F.when(F.size(th) >= n, grams).otherwise(whole)
 
 
-def minhash_sig_cols(shingles: Column, k: int = MINHASH_K) -> list[Column]:
-    """k MinHash signature columns over the shingle set."""
-    hashes = F.transform(shingles, lambda s: poly_hash_col(s))
-    sigs = []
-    for a, b in MINHASH_PARAMS[:k]:
-        sigs.append(
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD))
-            )
-        )
-    return sigs
+def shingle_hash_rows(
+    docs: DataFrame, tokens_col: str = "tokens", *, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, h) — one row per shingle occurrence. The single place
+    token hashing happens (a dedicated projection: CollapseProject will
+    not inline a non-cheap alias referenced many times, which keeps the
+    token-hash array evaluated once per row); signatures and verify
+    sets both aggregate from here (map-side partial agg → one shuffled
+    row per doc)."""
+    with_th = docs.withColumn("_th", F.transform(tokens_col, lambda t: poly_hash_col(t)))
+    return with_th.select(
+        "doc_id", F.explode(shingle_hashes_from(F.col("_th"), shingle_n)).alias("h")
+    )
+
+
+def _sig_aggs(k: int = MINHASH_K) -> list[Column]:
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS[:k])
+    ]
 
 
 def minhash_signatures(
     docs: DataFrame, tokens_col: str = "tokens", *, k: int = MINHASH_K, shingle_n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{k-1})."""
-    sh = shingles_col(F.col(tokens_col), shingle_n)
-    sigs = minhash_sig_cols(sh, k)
-    return docs.select(
-        "doc_id", *[s.alias(f"sig_{j}") for j, s in enumerate(sigs)]
+    """(doc_id, sig_0..sig_{k-1}) — k MinHash mins aggregated over the
+    exploded shingle-hash rows: every doc has ≥1 shingle hash (the
+    whole-doc fold), so no doc drops out of the groupBy."""
+    return (
+        shingle_hash_rows(docs, tokens_col, shingle_n=shingle_n)
+        .groupBy("doc_id")
+        .agg(*_sig_aggs(k))
     )
 
 
+DEFAULT_MAX_BUCKET = 1024
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing any band bucket.
-    Self-join on band key (equi-join → hash shuffle on the key)."""
+
+    Skew-bounded self-join: a boilerplate-hot band bucket of size m
+    would put all m² comparisons in ONE task under a plain equi-join.
+    With `max_bucket` = C each bucket member gets an intra-bucket index
+    i (linear, partitioned window) and chunk c = i div C; the left side
+    keeps its own chunk, the right side replicates row b to chunks
+    0..c_b. A pair (i_a < i_b ⇔ doc_a < doc_b) meets exactly once at
+    key (band_key, c_a) since c_a ≤ c_b, so the OUTPUT is identical to
+    the uncapped join while no task sees more than C left rows × m
+    right rows — per-task work bounded by C·m instead of m², spread
+    over ⌈m/C⌉ keys. Replication factor = ⌈m/C⌉ on the right side only.
+    max_bucket=None restores the plain equi-join.
+    """
     assert bands * rows_per_band <= MINHASH_K
     keyed = signatures.select(
         "doc_id",
@@ -97,22 +152,39 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
-    left = keyed.select(F.col("doc_id").alias("doc_a"), "band_key")
-    right = keyed.select(F.col("doc_id").alias("doc_b"), "band_key")
+    if max_bucket is None:
+        left = keyed.select(F.col("doc_id").alias("doc_a"), "band_key")
+        right = keyed.select(F.col("doc_id").alias("doc_b"), "band_key")
+        return (
+            left.join(right, "band_key")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    w = Window.partitionBy("band_key").orderBy("doc_id")
+    idx = keyed.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "chunk", (F.col("i") / F.lit(int(max_bucket))).cast("int")
+    )
+    left = idx.select(
+        F.col("doc_id").alias("doc_a"), "band_key", F.col("chunk").alias("c")
+    )
+    right = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        "band_key",
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("c"),
+    )
     return (
-        left.join(right, "band_key")
+        left.join(right, ["band_key", "c"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
 
 
-def jaccard_col(shingles_a: Column, shingles_b: Column) -> Column:
-    """Exact Jaccard over distinct shingle sets."""
-    sa = F.array_distinct(shingles_a)
-    sb = F.array_distinct(shingles_b)
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
+def jaccard_col(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
+    union = F.size(F.array_union(set_a, set_b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -124,16 +196,27 @@ def near_dup_pairs(
     shingle_n: int = 3,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — MinHash-LSH candidates verified by
-    exact n-gram Jaccard ≥ threshold."""
-    with_sh = docs.select(
-        "doc_id", shingles_col(F.col(tokens_col), shingle_n).alias("shingles")
+    exact n-gram Jaccard ≥ threshold, computed over int64 shingle-hash
+    sets. ONE groupBy over the exploded shingle-hash rows yields both
+    the k signatures and the sorted distinct hash set per doc — tokens
+    are hashed exactly once; the verify joins carry 8-byte hashes, not
+    n-gram strings. Jaccard over hash sets equals shingle-set Jaccard
+    except under poly collisions (~|S|²/2³¹ per pair; the DuckDB oracle
+    hashes identically, so parity is exact either way)."""
+    per_doc = (
+        shingle_hash_rows(docs, tokens_col, shingle_n=shingle_n)
+        .groupBy("doc_id")
+        .agg(*_sig_aggs(), F.array_sort(F.collect_set("h")).alias("sh"))
     )
-    sigs = minhash_signatures(docs, tokens_col, shingle_n=shingle_n)
-    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sigs = per_doc.select("doc_id", *[f"sig_{j}" for j in range(MINHASH_K)])
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
+    a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -145,22 +228,34 @@ def near_dup_pairs(
 
 def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over token occurrences: bit j is the sign of
-    Σ_tokens (2·bit_j(h(token)) − 1)."""
+    Σ_tokens (2·bit_j(h(token)) − 1).
+
+    ONE pass over the token-hash array: the fold accumulates all `bits`
+    per-bit sums in an array<long> (zip_with inside the aggregate
+    merge), instead of `bits` separate aggregate scans. Bit extraction
+    is (h div 2^j) mod 2 as arithmetic — power-of-two division is exact
+    in doubles for h < 2^53 and the truncating cast is floor for
+    positives (F.shiftright rejects lambda-variable Columns in
+    pyspark 4, and HOF lambdas must be exactly 2-ary)."""
     hashes = F.transform(tokens, lambda t: poly_hash_col(t))
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def bit_merge(j: int):
-        # (h >> j) & 1 as arithmetic: power-of-two division is exact in
-        # doubles for h < 2^53, truncating cast == floor for positives.
-        # (F.shiftright rejects lambda-variable Columns in pyspark 4, and
-        # HOF lambdas must be exactly 2-ary — no default args.)
-        shift = float(1 << j)
-        return lambda acc, h: acc + (((h / F.lit(shift)).cast("long") % 2) * 2 - 1)
+    def merge(acc, h):
+        signs = F.transform(
+            idx, lambda j: ((h / F.pow(F.lit(2.0), j)).cast("long") % 2) * 2 - 1
+        )
+        return F.zip_with(acc, signs, lambda a, b: a + b)
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(j))
-        out = out + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+    sums = F.aggregate(hashes, init, merge)
+    weights = F.zip_with(
+        sums,
+        idx,
+        lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -90,25 +90,10 @@ def rrf_candidate_budget(k: int, w_dense: float = RRF_DENSE_WEIGHT, rrf_k: int =
     return max(k, int(math.ceil((rrf_k + k) / w_dense)) - rrf_k)
 
 
-def _exact_leg_ranks(
-    leg: DataFrame, score_col: str, cand_scores: dict[int, float]
-) -> dict[int, int]:
-    """Exact rank of each candidate within a scored leg, WITHOUT a
-    global sort: rank(c) = 1 + #{rows beating c}, computed as one
-    map-side conditional-count aggregation pass (|C| counters, partial
-    aggregation per partition, one tiny reduced row). No shuffle of the
-    leg itself, no single-partition window."""
-    if not cand_scores:
-        return {}
-    s, i = F.col(score_col), F.col("doc_id")
-    aggs = [
-        F.count(
-            F.when((s > F.lit(cs)) | ((s == F.lit(cs)) & (i < F.lit(cid))), True)
-        ).alias(f"c{cid}")
-        for cid, cs in cand_scores.items()
-    ]
-    row = leg.agg(*aggs).collect()[0]
-    return {cid: int(row[f"c{cid}"]) + 1 for cid in cand_scores}
+def _beats(score: Column, doc_id: Column, c_score: Column, c_id: Column) -> Column:
+    """Row (score, doc_id) precedes candidate (c_score, c_id) in the
+    (score desc, doc_id asc) total order."""
+    return (score > c_score) | ((score == c_score) & (doc_id < c_id))
 
 
 def rrf_topk(
@@ -125,52 +110,77 @@ def rrf_topk(
     (vexor/bm25.py:92-115) without ranking the full corpus.
 
     Inputs: dense_scored(doc_id, dense_score) over ALL docs,
-    bm25_scored(doc_id, score). Per leg this runs (a) a TakeOrdered
-    top-T (T = rrf_candidate_budget, proof there), (b) a bounded
-    IN-filter fetch of scores for candidates sourced from the other
-    leg, (c) one conditional-count aggregation for exact ranks — all
-    linear map-side passes, no global sort, no window shuffle. The
-    ≤ 2T candidates are fused and ranked on the driver (the same
-    bounded driver merge TakeOrderedAndProject itself performs).
-    """
-    spark = dense_scored.sparkSession
-    schema = "rank long, doc_id long, fused double"
-    T = rrf_candidate_budget(k, w_dense, rrf_k)
-    dtop = dense_scored.orderBy(F.desc("dense_score"), F.asc("doc_id")).limit(T).collect()
-    bpos = bm25_scored.filter(F.col("score") > 0)
-    btop = bpos.orderBy(F.desc("score"), F.asc("doc_id")).limit(T).collect()
-    dmap = {int(r["doc_id"]): float(r["dense_score"]) for r in dtop}
-    bmap = {int(r["doc_id"]): float(r["score"]) for r in btop}
-    cands = set(dmap) | set(bmap)
-    if not cands:
-        return spark.createDataFrame([], schema)
-    # Bounded (≤T-row) fetches of leg scores for cross-sourced candidates.
-    miss_d = [c for c in cands if c not in dmap]
-    if miss_d:
-        for r in dense_scored.filter(F.col("doc_id").isin(miss_d)).collect():
-            dmap[int(r["doc_id"])] = float(r["dense_score"])
-    miss_b = [c for c in cands if c not in bmap]
-    if miss_b:
-        for r in bpos.filter(F.col("doc_id").isin(miss_b)).collect():
-            bmap[int(r["doc_id"])] = float(r["score"])
-    dranks = _exact_leg_ranks(dense_scored, "dense_score", {c: dmap[c] for c in cands if c in dmap})
-    branks = _exact_leg_ranks(bpos, "score", {c: bmap[c] for c in cands if c in bmap})
-    kk = float(rrf_k)
-    fused: list[tuple[int, float]] = []
-    for c in cands:
-        f = 0.0
-        if c in dranks:
-            f += w_dense * (kk + 1.0) / (kk + dranks[c])
-        if c in branks:
-            f += w_bm25 * (kk + 1.0) / (kk + branks[c])
-        if round_dp is not None:
-            from vexor_spark.functions.rounding import round_half_up
+    bm25_scored(doc_id, score). ONE declarative plan, evaluated by a
+    single action:
 
-            f = round_half_up(f, round_dp)  # == F.round, see rounding.py
-        fused.append((c, f))
-    fused.sort(key=lambda t: (-t[1], t[0]))
-    rows = [(r + 1, c, f) for r, (c, f) in enumerate(fused[:k])]
-    return spark.createDataFrame(rows, schema)
+    1. per-leg TakeOrdered top-T subplans (T = rrf_candidate_budget —
+       the written proof that the fused top-k lives in their union C);
+    2. C (≤2T rows) left-joins both legs for candidate scores and is
+       BROADCAST against each full leg with the `_beats` theta
+       predicate — rank(c) = 1 + #beating rows, reduced by a partial
+       (map-side) count per candidate. Linear scans, no global sort,
+       no single-partition window, no full-leg shuffle;
+    3. the ≤2T fused rows round (F.round, in-plan) and TakeOrdered to
+       the final k, numbered in the bounded driver merge.
+
+    The legs appear several times in the DAG and are recomputed within
+    the one job — for projection-shaped legs a linear rescan beats
+    materializing a checkpoint, and each rescan is shuffle-free.
+    """
+    from vexor_spark.plans.topk import take_ranked
+
+    T = rrf_candidate_budget(k, w_dense, rrf_k)
+    dense = dense_scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "dense_score"
+    )
+    bpos = bm25_scored.filter(F.col("score") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
+    )
+    dtop = dense.orderBy(F.desc("dense_score"), F.asc("doc_id")).limit(T)
+    btop = bpos.orderBy(F.desc("score"), F.asc("doc_id")).limit(T)
+    cands = dtop.select("doc_id").union(btop.select("doc_id")).distinct()
+    cs = (
+        cands.join(dense, "doc_id", "left")
+        .join(bpos, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("cid"),
+            F.col("dense_score").alias("ds"),
+            F.col("score").alias("bs"),
+        )
+    )
+    dcnt = (
+        dense.join(
+            F.broadcast(cs.select("cid", "ds")),
+            _beats(F.col("dense_score"), F.col("doc_id"), F.col("ds"), F.col("cid")),
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("dcnt"))
+    )
+    bcnt = (
+        bpos.join(
+            F.broadcast(cs.select("cid", "bs")),
+            _beats(F.col("score"), F.col("doc_id"), F.col("bs"), F.col("cid")),
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    kk = float(rrf_k)
+    fused_col = F.when(
+        F.col("ds").isNotNull(),
+        F.lit(w_dense) * (kk + 1.0) / (kk + F.coalesce("dcnt", F.lit(0)) + 1.0),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("bs").isNotNull(),
+        F.lit(w_bm25) * (kk + 1.0) / (kk + F.coalesce("bcnt", F.lit(0)) + 1.0),
+    ).otherwise(F.lit(0.0))
+    fused = (
+        cs.join(dcnt, "cid", "left")
+        .join(bcnt, "cid", "left")
+        .select(F.col("cid").alias("doc_id"), fused_col.alias("fused"))
+    )
+    if round_dp is not None:
+        fused = fused.withColumn("fused", F.round("fused", round_dp))
+    ranked = take_ranked(fused, [F.desc("fused"), F.asc("doc_id")], k)
+    return ranked.select("rank", "doc_id", "fused")
 
 
 # --- BM25L (legacy rerank lexical leg) ------------------------------------
