@@ -37,6 +37,8 @@ def test_catalog_matches_duckdb(spark, name, sf_dir):
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         if a[col].dtype.kind == "f":
-            assert av == pytest.approx(bv, rel=1e-9, abs=1e-9), f"{name}.{col}"
+            # nan_ok: nullable numeric columns (e.g. media meta fields)
+            # compare null-to-null; the driver's hash gate does the same.
+            assert av == pytest.approx(bv, rel=1e-9, abs=1e-9, nan_ok=True), f"{name}.{col}"
         else:
             assert av == bv, f"{name}.{col}"

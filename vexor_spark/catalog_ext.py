@@ -11,6 +11,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -979,6 +980,230 @@ SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
 FROM sessed GROUP BY user_id, session_idx"""
 
 
+# --- code / outline chunking modes ------------------------------------------
+#
+# The AST/markdown kernels aren't SQL-expressible, so the oracle checks
+# them on SYNTHETIC sources with a fixed line layout: each doc becomes a
+# deterministic Python module / markdown page whose expected chunks
+# (labels, previews, 1-based line spans) have a closed form the oracle
+# constructs directly with string concatenation. The Spark side runs
+# the REAL kernels (ast.parse / outline scanner) through the Arrow UDF.
+
+_CODE_SRC_FMT = (
+    "import os\n\nX = %d\n\ndef f_%d(x):\n    return x + %d\n\n"
+    "class C_%d:\n    y = %d\n\n    def m(self, v):\n        return v * %d\n\nTAIL = %d\n"
+)
+
+
+def q_chunk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`code` mode (vexor/modes.py:127-180 over
+    content_extract_service.py:256-481): module prelude / function /
+    class / method / module-globals chunks of a synthetic module."""
+    from vexor_spark.operators.chunking import chunk_pages
+
+    d = docs_table(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id")
+    src = F.format_string(
+        _CODE_SRC_FMT, k % 7, k, k % 5, k, k % 3, k % 11, k % 2
+    )
+    pages = d.select(
+        "doc_id",
+        F.format_string("https://example.org/code/doc_%d.py", k).alias("url"),
+        F.encode(src, "UTF-8").alias("html"),
+    )
+    chunks = chunk_pages(pages, mode="code", extra_cols=["doc_id"])
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "label",
+        "preview",
+        F.col("start_line").cast("long").alias("start_line"),
+        F.col("end_line").cast("long").alias("end_line"),
+    )
+
+
+SQL_CHUNK_CODE = """WITH base AS (
+  SELECT doc_id,
+         'doc_' || doc_id::VARCHAR || '.py' AS name,
+         (doc_id % 7)::VARCHAR AS a, (doc_id % 5)::VARCHAR AS b,
+         (doc_id % 3)::VARCHAR AS c, (doc_id % 11)::VARCHAR AS d,
+         (doc_id % 2)::VARCHAR AS e, doc_id::VARCHAR AS k
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_index::BIGINT AS chunk_index, label, preview,
+       start_line::BIGINT AS start_line, end_line::BIGINT AS end_line
+FROM (
+  SELECT doc_id, 0 AS chunk_index,
+         name || ' :: module :: import os X = ' || a AS label,
+         'module :: import os X = ' || a AS preview,
+         1 AS start_line, 4 AS end_line FROM base
+  UNION ALL
+  SELECT doc_id, 1,
+         name || ' :: def f_' || k || '(x): :: def f_' || k || '(x): return x + ' || b,
+         'def f_' || k || '(x): :: def f_' || k || '(x): return x + ' || b,
+         5, 6 FROM base
+  UNION ALL
+  SELECT doc_id, 2,
+         name || ' :: class C_' || k || ': :: class C_' || k || ': y = ' || c || ' Methods: m',
+         'class C_' || k || ': :: class C_' || k || ': y = ' || c || ' Methods: m',
+         8, 12 FROM base
+  UNION ALL
+  SELECT doc_id, 3,
+         name || ' :: C_' || k || '.m(self, v) :: def m(self, v): return v * ' || d,
+         'C_' || k || '.m(self, v) :: def m(self, v): return v * ' || d,
+         11, 12 FROM base
+  UNION ALL
+  SELECT doc_id, 4,
+         name || ' :: module globals :: TAIL = ' || e,
+         'module globals :: TAIL = ' || e,
+         13, 14 FROM base
+)"""
+
+_OUTLINE_SRC_FMT = (
+    "# Title %d\n\nintro %d\n\n## Section A\n\nalpha %d\n\n## Section B\n\nbeta %d\n"
+)
+
+
+def q_chunk_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`outline` mode (vexor/modes.py:183-225 over
+    content_extract_service.py:494-681): heading sections with
+    breadcrumbs of a synthetic markdown page."""
+    from vexor_spark.operators.chunking import chunk_pages
+
+    d = docs_table(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id")
+    src = F.format_string(_OUTLINE_SRC_FMT, k, k, k % 7, k % 5)
+    pages = d.select(
+        "doc_id",
+        F.format_string("https://example.org/docs/doc_%d.md", k).alias("url"),
+        F.encode(src, "UTF-8").alias("html"),
+    )
+    chunks = chunk_pages(pages, mode="outline", extra_cols=["doc_id"])
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "label",
+        "preview",
+        F.col("start_line").cast("long").alias("start_line"),
+        F.col("end_line").cast("long").alias("end_line"),
+    )
+
+
+SQL_CHUNK_OUTLINE = """WITH base AS (
+  SELECT doc_id,
+         'doc_' || doc_id::VARCHAR || '.md' AS name,
+         doc_id::VARCHAR AS k,
+         (doc_id % 7)::VARCHAR AS a, (doc_id % 5)::VARCHAR AS b
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_index::BIGINT AS chunk_index, label, preview,
+       start_line::BIGINT AS start_line, end_line::BIGINT AS end_line
+FROM (
+  SELECT doc_id, 0 AS chunk_index,
+         name || ' :: Title ' || k || ' :: intro ' || k
+              || ' ## Section A alpha ' || a || ' ## Section B beta ' || b AS label,
+         'Title ' || k || ' :: intro ' || k
+              || ' ## Section A alpha ' || a || ' ## Section B beta ' || b AS preview,
+         1 AS start_line, 11 AS end_line FROM base
+  UNION ALL
+  SELECT doc_id, 1,
+         name || ' :: Title ' || k || ' > Section A :: alpha ' || a,
+         'Title ' || k || ' > Section A :: alpha ' || a,
+         5, 8 FROM base
+  UNION ALL
+  SELECT doc_id, 2,
+         name || ' :: Title ' || k || ' > Section B :: beta ' || b,
+         'Title ' || k || ' > Section B :: beta ' || b,
+         9, 11 FROM base
+)"""
+
+
+# --- multimodal: decode + feature-extract over binary media columns ---------
+#
+# The REAL mapInPandas decode kernel (operators/multimodal.py
+# extract_media_features) runs over binary payloads built from doc_id
+# with the LCG byte generator — closed-form per byte, so the DuckDB
+# oracle reconstructs every pixel/sample and the 8-bin histogram
+# features exactly. Media identity: even doc_id → image/x-fake
+# (w = 16 + id%8, h = 12), odd → audio/x-fake (n = 200 + id%50);
+# seed = id*7919 + 17.
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexor_spark.operators.multimodal import (
+        encode_lcg_audio,
+        encode_lcg_image,
+        extract_media_features,
+    )
+    from pyspark.sql.types import BinaryType
+
+    d = docs_table(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    @F.pandas_udf(BinaryType())
+    def make_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            seed = i * 7919 + 17
+            if i % 2 == 0:
+                out.append(encode_lcg_image(16 + i % 8, 12, seed))
+            else:
+                out.append(encode_lcg_audio(8000, 200 + i % 50, seed))
+        return pd.Series(out)
+
+    media = d.select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.lit("image/x-fake"))
+        .otherwise(F.lit("audio/x-fake"))
+        .alias("format"),
+        make_payload("media_id").alias("data"),
+    )
+    feats = extract_media_features(media, n_bins=8)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "format",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.sample_rate").cast("long").alias("sample_rate"),
+        F.col("meta.n_samples").cast("long").alias("n_samples"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        *[
+            F.round(F.element_at("features", j + 1), RND).alias(f"f{j}")
+            for j in range(8)
+        ],
+    )
+
+
+def _sql_media_features() -> str:
+    # byte stream b_i = (seed + i*LCG_MULT) % 256, i = 1..n; histogram
+    # bin j (of 8 over range 0..256 / -128..128) = b_i // 32.
+    bins = ",\n  ".join(
+        f"round(len(list_filter(bs, b -> b // 32 = {j}))::DOUBLE / len(bs), {RND}) AS f{j}"
+        for j in range(8)
+    )
+    return f"""WITH base AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/x-fake' ELSE 'audio/x-fake' END AS format,
+         CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 8 ELSE NULL END AS width,
+         CASE WHEN doc_id % 2 = 0 THEN 12 ELSE NULL END AS height,
+         CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+         CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 200 + doc_id % 50 END AS n_samples,
+         CASE WHEN doc_id % 2 = 0 THEN (16 + doc_id % 8) * 12 ELSE (200 + doc_id % 50) END AS n,
+         doc_id * 7919 + 17 AS seed
+  FROM documents
+),
+streams AS (
+  SELECT *, list_transform(generate_series(1, n), i -> (seed + i * 2654435761) % 256) AS bs
+  FROM base
+)
+SELECT media_id::BIGINT AS media_id, format,
+  width::BIGINT AS width, height::BIGINT AS height,
+  sample_rate::BIGINT AS sample_rate, n_samples::BIGINT AS n_samples,
+  (CASE WHEN format = 'image/x-fake' THEN 8 + n ELSE 12 + n END)::BIGINT AS n_bytes,
+  {bins}
+FROM streams"""
+
+
 # --- registry -------------------------------------------------------------------
 
 EXT_QUERIES = {
@@ -997,8 +1222,11 @@ EXT_QUERIES = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "chunk_full": q_chunk_full,
+    "chunk_code": q_chunk_code,
+    "chunk_outline": q_chunk_outline,
     "head_label": q_head_label,
     "keyword_top20": q_keyword_top20,
+    "media_features": q_media_features,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
 }
@@ -1019,8 +1247,11 @@ EXT_ORACLE_SQL = {
     "quality_score": _sql_quality(),
     "doc_fingerprint": SQL_FINGERPRINT,
     "chunk_full": SQL_CHUNK_FULL,
+    "chunk_code": SQL_CHUNK_CODE,
+    "chunk_outline": SQL_CHUNK_OUTLINE,
     "head_label": SQL_HEAD_LABEL,
     "keyword_top20": _sql_keyword_top20(),
+    "media_features": _sql_media_features(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
 }

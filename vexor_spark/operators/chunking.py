@@ -183,9 +183,20 @@ def chunk_page_py(
     """One page → payloads for the given indexing mode (SURVEY §2.8).
 
     Modes: full (vexor/modes.py:81-124), head (:61-75), name (:49-58),
-    brief (:269-293), auto (:230-266 — web pages have no code/markdown
-    suffixes, so auto routes by size: ≤10 000 bytes → full, else head).
+    brief (:269-293), code (:127-180), outline (:183-225), auto
+    (:230-266 — suffix routes .py/.js-family → code, .md-family →
+    outline, else by size: ≤10 000 bytes → full, else head).
     """
+    from vexor_spark.operators.code_chunking import (
+        CODE_SUFFIXES_JS,
+        CODE_SUFFIXES_PY,
+        OUTLINE_SUFFIXES,
+        TEXT_EXTENSIONS,
+        code_payloads,
+        outline_payloads,
+        url_suffix,
+    )
+
     name = _page_name(url)
 
     def name_fallback() -> list[dict]:
@@ -200,8 +211,38 @@ def chunk_page_py(
         ]
 
     if mode == "auto":
-        size = len(data) if data is not None else 0
-        mode = "full" if size <= AUTO_FULL_MAX_BYTES else "head"
+        suffix = url_suffix(url)
+        if suffix in CODE_SUFFIXES_PY or suffix in CODE_SUFFIXES_JS:
+            mode = "code"
+        elif suffix in OUTLINE_SUFFIXES:
+            mode = "outline"
+        else:
+            size = len(data) if data is not None else 0
+            mode = "full" if size <= AUTO_FULL_MAX_BYTES else "head"
+
+    if mode == "code":
+        payloads = code_payloads(
+            name,
+            data,
+            url_suffix(url),
+            chunk_size=chunk_size,
+            overlap=overlap,
+            char_limit=char_limit,
+        )
+        if payloads is not None:
+            return payloads
+        # CodeStrategy.fallback is FullStrategy (modes.py:133,146-149),
+        # whose extraction only runs for TEXT_EXTENSIONS suffixes
+        # (content_extract_service.py:138-149) — else name payload.
+        mode = "full" if url_suffix(url) in TEXT_EXTENSIONS else "name"
+
+    if mode == "outline":
+        payloads = outline_payloads(name, data, char_limit=char_limit)
+        if payloads is not None:
+            return payloads
+        # OutlineStrategy.fallback, same TEXT_EXTENSIONS gate
+        # (modes.py:187,205-207).
+        mode = "full" if url_suffix(url) in TEXT_EXTENSIONS else "name"
 
     if mode == "name":
         return name_fallback()

@@ -147,6 +147,29 @@ def encode_fake_video(width: int, height: int, n_frames: int, seed: int) -> byte
     ).astype(np.uint8).tobytes()
 
 
+LCG_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def lcg_bytes(n: int, seed: int) -> np.ndarray:
+    """Deterministic byte stream b_i = (seed + (i+1)·LCG_MULT) mod 256,
+    i = 0..n-1 — closed-form per position, so a SQL oracle can
+    reconstruct every byte (catalog media_features entry)."""
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    return ((seed + idx * LCG_MULT) % 256).astype(np.uint8)
+
+
+def encode_lcg_image(width: int, height: int, seed: int) -> bytes:
+    """image/x-fake payload with oracle-reproducible LCG pixels."""
+    return b"FIMG" + struct.pack("<HH", width, height) + lcg_bytes(width * height, seed).tobytes()
+
+
+def encode_lcg_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """audio/x-fake payload; samples are the LCG bytes shifted to int8
+    (b − 128), so the amplitude histogram matches the image bins."""
+    samples = (lcg_bytes(n_samples, seed).astype(np.int16) - 128).astype(np.int8)
+    return b"FAUD" + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
 # --- operators ---------------------------------------------------------------
 
 
