@@ -147,6 +147,8 @@ def build_chunks_resumable(
         "buckets_built": len(stale),
         "buckets_skipped": len(snap) - len(stale),
         "buckets_removed": len(removed),
+        "stale_buckets": sorted(int(b) for b in stale),
+        "removed_buckets": sorted(int(b) for b in removed),
         "pages_built": sum(snap[b]["n_pages"] for b in stale),
         "secs": round(time.time() - t0, 3),
     }

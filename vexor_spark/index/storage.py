@@ -232,6 +232,7 @@ def write_index(
         "block_size": block_size,
         "doc_count": index.doc_count,
         "avg_doc_len": index.avg_doc_len,
+        "ub_avg_doc_len": index.avg_doc_len,  # kernel-encode basis (merge.py)
     }
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=2))
 
@@ -295,6 +296,7 @@ def build_and_write_index(
         "block_size": block_size,
         "doc_count": doc_count,
         "avg_doc_len": avgdl,
+        "ub_avg_doc_len": avgdl,  # kernel-encode basis (merge.py)
     }
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=2))
     return {"docs": doc_count, "avg_doc_len": avgdl, "secs": round(time.time() - t0, 3)}
@@ -313,6 +315,15 @@ class PersistedIndex:
         self.avg_doc_len: float = meta["avg_doc_len"]
         self.term_buckets: int = meta["term_buckets"]
         self.block_size: int = meta.get("block_size", POSTING_BLOCK_SIZE)
+        # Stored block_ub / max_kernel were computed at encode time with
+        # `ub_avg_doc_len` (incremental merges keep the original basis,
+        # merge.py). Kernels grow with avgdl and k(a2)/k(a1) ≤ a2/a1, so
+        # inflating stored bounds by avgdl_now / basis keeps every
+        # pruning bound a true upper bound under drift.
+        basis = float(meta.get("ub_avg_doc_len", self.avg_doc_len) or 0.0)
+        self.ub_factor: float = (
+            max(1.0, self.avg_doc_len / basis) if basis > 0 else 1.0
+        )
         self.postings = spark.read.parquet(str(self.dir / "postings"))
         self.docs = spark.read.parquet(str(self.dir / "docs"))
 
@@ -458,7 +469,8 @@ class PersistedIndex:
             for t in terms
             if t in by_term
         }
-        ub = {t: idf[t] * max(b[3] for b in by_term[t]) for t in idf}
+        # ub_factor corrects stored block_ub for avgdl drift since encode.
+        ub = {t: idf[t] * max(b[3] for b in by_term[t]) * self.ub_factor for t in idf}
         order = sorted(idf, key=lambda t: -ub[t])
         remaining = sum(ub.values())
 

@@ -58,7 +58,9 @@ def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
     present = [t for t in terms if t in tdict]
     if not present:
         return spark.createDataFrame([], "doc_id long, score double")
-    ub = {t: _idf(tdict[t][0], n) * tdict[t][1] for t in present}
+    # pidx.ub_factor corrects stored max_kernel / block_ub for avg-doc-
+    # length drift since encode time (see storage.PersistedIndex).
+    ub = {t: _idf(tdict[t][0], n) * tdict[t][1] * pidx.ub_factor for t in present}
     total_ub = sum(ub.values())
 
     blocks = pidx._matched_blocks(present)
@@ -96,7 +98,9 @@ def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
     )
     bounded = blocks.join(F.broadcast(bound_df), "term").withColumn(
         "passes",
-        F.col("idf") * F.col("block_ub") + F.col("rest_ub") >= F.lit(theta),
+        F.col("idf") * F.col("block_ub") * F.lit(float(pidx.ub_factor))
+        + F.col("rest_ub")
+        >= F.lit(theta),
     )
     bounded = bounded.persist()
     try:
