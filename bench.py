@@ -40,6 +40,11 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
 # minimum, decorrelating slow-host windows from one cluster size.
 BENCH_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 N_SMALL, N_BIG = 8, 32
+# Second N→4N pair measured on the UNSATURATED region of this single
+# box (32 real cores share one memory bus; BASELINE.md quantifies the
+# hardware ceiling with a pure-CPU control). Skippable via env.
+N_SMALL2, N_BIG2 = 4, 16
+BENCH_SECOND_PAIR = os.environ.get("BENCH_SECOND_PAIR", "1") != "0"
 
 HEADLINE = [
     "bm25_top10",
@@ -170,6 +175,36 @@ def main() -> None:
                 "build_secs_n32_all": [r["build_secs"] for r in bigs],
                 "efficiency_n8_to_n32": round(eff, 3),
             }
+            if BENCH_SECOND_PAIR:
+                # N→4N on the unsaturated region of the box (see BASELINE.md)
+                s2 = min(
+                    (
+                        _run_build(
+                            f"local[{N_SMALL2}]", BENCH_PAGES, zpath,
+                            tmp / f"n_s2_{r}", queries=0, pages_dir=pages_dir,
+                        )
+                        for r in range(BENCH_ROUNDS)
+                    ),
+                    key=lambda r: r["build_secs"],
+                )
+                b2 = min(
+                    (
+                        _run_build(
+                            f"local[{N_BIG2}]", BENCH_PAGES, zpath,
+                            tmp / f"n_b2_{r}", queries=0, pages_dir=pages_dir,
+                        )
+                        for r in range(BENCH_ROUNDS)
+                    ),
+                    key=lambda r: r["build_secs"],
+                )
+                eff2 = b2["docs_per_sec"] / ((N_BIG2 / N_SMALL2) * s2["docs_per_sec"])
+                result["scaling"].update(
+                    {
+                        "docs_per_sec_n4": s2["docs_per_sec"],
+                        "docs_per_sec_n16": b2["docs_per_sec"],
+                        "efficiency_n4_to_n16": round(eff2, 3),
+                    }
+                )
             result["bm25_query_latency"] = {
                 "median_sec": big.get("query_median_sec"),
                 "p95_sec": big.get("query_p95_sec"),

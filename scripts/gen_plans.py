@@ -17,9 +17,15 @@ out = []
 sf = "/root/testdata/sf0.01"
 
 df = catalog.q_bm25_top10(spark, sf)
-out.append(("bm25_top10 over documents (scan -> broadcast term join -> two-phase agg -> TakeOrdered)", plan_of(df)))
+out.append(("bm25_top10 over documents (scan -> broadcast term join -> broadcast dfreq join -> two-phase agg -> TakeOrdered; tokenized corpus localCheckpointed once)", plan_of(df)))
 
-pidx = PersistedIndex(spark, "/tmp/idx200k")
+idx_dir = "/tmp/idx_plans"
+import os
+if not os.path.exists(idx_dir + "/meta.json"):
+    from vexor_spark.index.storage import build_and_write_index
+    from vexor_spark.sources.corpus import generate_pages_df
+    build_and_write_index(generate_pages_df(spark, 5000, edges=True, partitions=8), idx_dir)
+pidx = PersistedIndex(spark, idx_dir)
 out.append(("persisted-index matched-blocks scan (term_bucket partition pruning + term pushdown)",
             plan_of(pidx._matched_blocks(["spark", "merge"]))))
 out.append(("distributed BM25 over persisted index (decode UDF -> explode -> hash agg -> TakeOrdered)",
@@ -29,6 +35,27 @@ docs = catalog.docs_table(spark, sf).select("doc_id", "text")
 from pyspark.sql import functions as F
 pruned = docs.select("doc_id").filter(F.col("doc_id") < 10)
 out.append(("column pruning + filter pushdown on parquet scan", plan_of(pruned)))
+
+# candidate-bounded exact RRF: per-leg TakeOrdered candidates + broadcast
+# theta-join rank counts — no unpartitioned window, no full-leg sort.
+from vexor_spark.operators.fusion import rrf_fused_candidates
+emb = catalog.embeddings_table(spark, sf)
+from vexor_spark.operators import similarity as sim
+qv = [float(j % 5) for j in range(64)]
+dense = emb.select(F.col("vec_id").cast("long").alias("doc_id"),
+                   sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"))
+bm25 = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   (F.length("text") % 7).cast("double").alias("score"))
+out.append(("candidate-bounded exact RRF (TakeOrdered legs + BroadcastNestedLoop beat-counts, no rank window)",
+            plan_of(rrf_fused_candidates(dense, bm25, 10))))
+
+# skew-capped LSH candidate join: per-bucket chunk keys bound any hot
+# band bucket's task to max_bucket x m rows.
+from vexor_spark.functions.tokenize import tokenize_col
+from vexor_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+toks = docs.limit(500).select("doc_id", tokenize_col("text").alias("tokens"))
+out.append(("LSH candidate pairs with max_bucket chunk routing (partitioned window + chunk-key equi-join)",
+            plan_of(lsh_candidate_pairs(minhash_signatures(toks), max_bucket=1024))))
 
 with open("/root/repo/PLANS.md", "w") as fh:
     fh.write("""# PLANS — physical-plan audit (`.explain(\"formatted\")`)

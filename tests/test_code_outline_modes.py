@@ -114,6 +114,26 @@ def test_auto_mode_routing_parity(tmp_path, name, body):
     assert _ours(name, body, "auto") == _theirs(tmp_path, name, body, "auto")
 
 
+@pytest.mark.parametrize("mode", ["full", "head", "brief", "auto"])
+@pytest.mark.parametrize("name", ["f.pdf", "f.docx", "f.pptx"])
+def test_binary_format_gated_extractors_parity(tmp_path, name, mode):
+    """S5 extractors are import-gated exactly like the reference: with
+    pypdf/python-docx/python-pptx absent, every mode lands on the same
+    name fallback for binary documents on both sides (instead of
+    decoding raw container bytes as text)."""
+    body = "%PDF-1.4 \x00\x01\x02 not really parseable \xff".encode("latin-1").decode("latin-1")
+    payloads = chunk_page_py(
+        f"https://example.org/files/{name}", body.encode("latin-1"), mode=mode
+    )
+    f = tmp_path / name
+    f.write_bytes(body.encode("latin-1"))
+    theirs = ref_modes.get_strategy(mode).payloads_for_files([f])
+    assert [
+        (p["chunk_index"], p["label"], p["preview"], p["start_line"], p["end_line"])
+        for p in payloads
+    ] == [(p.chunk_index, p.label, p.preview, p.start_line, p.end_line) for p in theirs]
+
+
 def test_code_mode_engine_dataframe(spark):
     """The mode flows through the Arrow UDF + explode plan unchanged."""
     from vexor_spark.operators.chunking import chunk_pages

@@ -327,7 +327,11 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("doc_id"),
         sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
     )
-    bm25 = _bm25_scores_docs(spark, sf_dir, FLAGSHIP_QUERY)
+    # The bm25 leg is referenced 3× inside rrf_topk's single plan
+    # (top-T, candidate-score join, beat-count); an EAGER localCheckpoint
+    # materializes the ~|matched docs| scored rows once instead of
+    # re-running tokenize+score per reference.
+    bm25 = _bm25_scores_docs(spark, sf_dir, FLAGSHIP_QUERY).localCheckpoint(eager=True)
     return rrf_topk(dense_scored, bm25, 10, round_dp=RND)
 
 

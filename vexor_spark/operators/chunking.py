@@ -247,8 +247,22 @@ def chunk_page_py(
     if mode == "name":
         return name_fallback()
 
+    # Binary document formats (S5): suffix-dispatched gated extractors
+    # (functions/extractors.py). With the parser libs absent they return
+    # None and every mode takes the same name fallback the reference
+    # takes (content_extract_service.py extractor registry + :138-149).
+    from vexor_spark.functions.extractors import BINARY_EXTRACTORS
+
+    binary_fn = BINARY_EXTRACTORS.get(url_suffix(url))
+
+    def head_snippet(limit: int) -> str | None:
+        if binary_fn is not None:
+            text = binary_fn(data, limit) if data is not None else None
+            return text  # extractor output is already snippet-cleaned
+        return _decode_head(data, limit)
+
     if mode == "head":
-        snippet = _decode_head(data, HEAD_CHAR_LIMIT)
+        snippet = head_snippet(HEAD_CHAR_LIMIT)
         if snippet:
             return [
                 {
@@ -262,7 +276,7 @@ def chunk_page_py(
         return name_fallback()
 
     if mode == "brief":
-        snippet = _decode_head(data, BRIEF_CHAR_LIMIT)
+        snippet = head_snippet(BRIEF_CHAR_LIMIT)
         keywords = _extract_keywords(snippet, BRIEF_KEYWORD_LIMIT) if snippet else []
         if keywords:
             preview_tokens = keywords[:BRIEF_PREVIEW_LIMIT]
@@ -280,10 +294,19 @@ def chunk_page_py(
     if mode != "full":
         raise ValueError(f"unknown mode {mode!r}")
 
-    text = extract_text_py(data, char_limit)
+    # full mode: binary formats extract via the gated kernel and carry
+    # no line metadata (extract_full_chunks_with_lines include_lines is
+    # False outside TEXT_EXTENSIONS, content_extract_service.py:181-199).
+    include_lines = binary_fn is None
+    if binary_fn is not None:
+        text = binary_fn(data, char_limit) if data is not None else None
+    else:
+        text = extract_text_py(data, char_limit)
     payloads: list[dict] = []
     if text is not None:
         for cleaned, start_line, end_line in _full_chunks(text, chunk_size, overlap):
+            if not include_lines:
+                start_line = end_line = None
             normalized = _normalize_preview_chunk(cleaned)
             if not normalized:
                 continue

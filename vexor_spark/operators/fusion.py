@@ -96,7 +96,7 @@ def _beats(score: Column, doc_id: Column, c_score: Column, c_id: Column) -> Colu
     return (score > c_score) | ((score == c_score) & (doc_id < c_id))
 
 
-def rrf_topk(
+def rrf_fused_candidates(
     dense_scored: DataFrame,
     bm25_scored: DataFrame,
     k: int = 10,
@@ -104,14 +104,13 @@ def rrf_topk(
     w_dense: float = RRF_DENSE_WEIGHT,
     w_bm25: float = RRF_BM25_WEIGHT,
     rrf_k: int = RRF_K,
-    round_dp: int | None = None,
 ) -> DataFrame:
-    """(rank, doc_id, fused) — exact weighted-RRF top-k
-    (vexor/bm25.py:92-115) without ranking the full corpus.
+    """(doc_id, fused) for the ≤2T candidates that can reach the fused
+    top-k — exact weighted-RRF (vexor/bm25.py:92-115) without ranking
+    the full corpus. Lazy; rrf_topk ranks it.
 
     Inputs: dense_scored(doc_id, dense_score) over ALL docs,
-    bm25_scored(doc_id, score). ONE declarative plan, evaluated by a
-    single action:
+    bm25_scored(doc_id, score). ONE declarative plan:
 
     1. per-leg TakeOrdered top-T subplans (T = rrf_candidate_budget —
        the written proof that the fused top-k lives in their union C);
@@ -127,8 +126,6 @@ def rrf_topk(
     the one job — for projection-shaped legs a linear rescan beats
     materializing a checkpoint, and each rescan is shuffle-free.
     """
-    from vexor_spark.plans.topk import take_ranked
-
     T = rrf_candidate_budget(k, w_dense, rrf_k)
     dense = dense_scored.select(
         F.col("doc_id").cast("long").alias("doc_id"), "dense_score"
@@ -138,10 +135,23 @@ def rrf_topk(
     )
     dtop = dense.orderBy(F.desc("dense_score"), F.asc("doc_id")).limit(T)
     btop = bpos.orderBy(F.desc("score"), F.asc("doc_id")).limit(T)
-    cands = dtop.select("doc_id").union(btop.select("doc_id")).distinct()
+    # ≤2T rows referenced by 3 joins below — materialize once (lazy
+    # local checkpoint) so each broadcast doesn't re-run the TakeOrdered
+    # legs.
+    cands = (
+        dtop.select("doc_id").union(btop.select("doc_id")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Candidate score fetch WITHOUT shuffling a leg: inner BHJ with the
+    # broadcast ≤2T candidate set prunes each full leg map-side; the
+    # left joins that reassemble (cid, ds, bs) are then tiny-on-tiny.
+    # (A direct cands LEFT JOIN leg would have to build/shuffle the
+    # LEG side once it outgrows the auto-broadcast threshold.)
+    cand_d = dense.join(F.broadcast(cands), "doc_id").select("doc_id", "dense_score")
+    cand_b = bpos.join(F.broadcast(cands), "doc_id").select("doc_id", "score")
     cs = (
-        cands.join(dense, "doc_id", "left")
-        .join(bpos, "doc_id", "left")
+        cands.join(F.broadcast(cand_d), "doc_id", "left")
+        .join(F.broadcast(cand_b), "doc_id", "left")
         .select(
             F.col("doc_id").alias("cid"),
             F.col("dense_score").alias("ds"),
@@ -172,10 +182,32 @@ def rrf_topk(
         F.col("bs").isNotNull(),
         F.lit(w_bm25) * (kk + 1.0) / (kk + F.coalesce("bcnt", F.lit(0)) + 1.0),
     ).otherwise(F.lit(0.0))
-    fused = (
-        cs.join(dcnt, "cid", "left")
-        .join(bcnt, "cid", "left")
+    # dcnt/bcnt are ≤|C| ≤ 2T rows by construction — broadcast them so
+    # the final assembly never sort-merge-shuffles the candidate frame.
+    return (
+        cs.join(F.broadcast(dcnt), "cid", "left")
+        .join(F.broadcast(bcnt), "cid", "left")
         .select(F.col("cid").alias("doc_id"), fused_col.alias("fused"))
+    )
+
+
+def rrf_topk(
+    dense_scored: DataFrame,
+    bm25_scored: DataFrame,
+    k: int = 10,
+    *,
+    w_dense: float = RRF_DENSE_WEIGHT,
+    w_bm25: float = RRF_BM25_WEIGHT,
+    rrf_k: int = RRF_K,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, fused) — rrf_fused_candidates rounded in-plan
+    (F.round) and ranked via the bounded driver merge
+    (plans/topk.take_ranked): one action for the whole fusion."""
+    from vexor_spark.plans.topk import take_ranked
+
+    fused = rrf_fused_candidates(
+        dense_scored, bm25_scored, k, w_dense=w_dense, w_bm25=w_bm25, rrf_k=rrf_k
     )
     if round_dp is not None:
         fused = fused.withColumn("fused", F.round("fused", round_dp))
