@@ -159,3 +159,24 @@ def test_decorated_results(persisted):
     ranked = idx.search_distributed("uid_000042", k=5)
     rows = idx.decorate(ranked).collect()
     assert rows and rows[0]["url"].endswith("000042.html")
+
+
+def test_search_local_term_cache(spark, tmp_path):
+    """Driver-side LRU of per-term block rows (reference cache.py
+    analog): warm repeats skip parquet, results identical; absent terms
+    negative-cache; capacity bounded."""
+    from vexor_spark.index.storage import PersistedIndex, build_and_write_index
+    from vexor_spark.sources.corpus import generate_pages_df
+
+    pages = generate_pages_df(spark, 80, edges=True, partitions=4)
+    build_and_write_index(pages, tmp_path / "idx", term_buckets=8)
+    pi = PersistedIndex(spark, tmp_path / "idx")
+    cold = pi.search_local("spark merge window", k=10)
+    assert {"spark", "merge", "window"} <= set(pi._term_cache)
+    warm = pi.search_local("spark merge window", k=10)
+    assert warm == cold
+    assert pi.search_local("zzzabsenttoken", k=5) == []
+    assert pi._term_cache["zzzabsenttoken"] == ([], 0)
+    pi.term_cache_max = 4
+    pi.search_local("hash join sort customer events", k=5)
+    assert len(pi._term_cache) <= 4

@@ -324,6 +324,16 @@ class PersistedIndex:
         self.ub_factor: float = (
             max(1.0, self.avg_doc_len / basis) if basis > 0 else 1.0
         )
+        # Driver-side LRU of per-term block rows (the analog of the
+        # reference's SQLite postings reuse across searches,
+        # vexor/cache.py:437-477): repeated query terms skip the
+        # parquet read entirely. Entries: term -> (block rows, df);
+        # absent terms cache as ([], 0) so misses are also one-shot.
+        # Bounded; invalidated by constructing a fresh PersistedIndex
+        # (incremental merges rewrite files — reopen after updates,
+        # like the reference reopens its SQLite cache).
+        self._term_cache: "dict[str, tuple[list, int]]" = {}
+        self.term_cache_max = 4096
         self.postings = spark.read.parquet(str(self.dir / "postings"))
         self.docs = spark.read.parquet(str(self.dir / "docs"))
 
@@ -375,33 +385,54 @@ class PersistedIndex:
         terms = prepare_query_terms(query)
         if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:
             return []
-        tbl = self._arrow_read(
-            "postings",
-            terms,
-            ["term", "df", "block_id", "block_first", "block_last",
-             "block_ub", "n", "blob"],
-        )
-        by_term: dict[str, list] = {}
-        dfs: dict[str, int] = {}
-        for t, df_, bid, bf, bl, bub, n_, blob in zip(
-            tbl.column("term").to_pylist(),
-            tbl.column("df").to_pylist(),
-            tbl.column("block_id").to_pylist(),
-            tbl.column("block_first").to_pylist(),
-            tbl.column("block_last").to_pylist(),
-            tbl.column("block_ub").to_pylist(),
-            tbl.column("n").to_pylist(),
-            tbl.column("blob").to_pylist(),
-        ):
-            by_term.setdefault(t, []).append((bid, bf, bl, bub, int(n_), blob))
-            dfs[t] = int(df_)
-        for blocks in by_term.values():
-            blocks.sort()
+        by_term, dfs = self._term_blocks_cached(terms)
         if prune:
             ids, scores = self._search_local_pruned(terms, by_term, dfs, k)
         else:
             ids, scores = self._score_all_np(terms, by_term, dfs)
         return _topk_np(ids, scores, k)
+
+    def _term_blocks_cached(self, terms: list[str]):
+        """{term: sorted block rows}, {term: df} — LRU-cached pyarrow
+        read; only cache-miss terms touch parquet."""
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            tbl = self._arrow_read(
+                "postings",
+                missing,
+                ["term", "df", "block_id", "block_first", "block_last",
+                 "block_ub", "n", "blob"],
+            )
+            fresh: dict[str, tuple[list, int]] = {t: ([], 0) for t in missing}
+            for t, df_, bid, bf, bl, bub, n_, blob in zip(
+                tbl.column("term").to_pylist(),
+                tbl.column("df").to_pylist(),
+                tbl.column("block_id").to_pylist(),
+                tbl.column("block_first").to_pylist(),
+                tbl.column("block_last").to_pylist(),
+                tbl.column("block_ub").to_pylist(),
+                tbl.column("n").to_pylist(),
+                tbl.column("blob").to_pylist(),
+            ):
+                fresh[t] = (fresh[t][0], int(df_))
+                fresh[t][0].append((bid, bf, bl, bub, int(n_), blob))
+            for t, (blocks, df_) in fresh.items():
+                blocks.sort()
+                self._term_cache[t] = (blocks, df_)
+        by_term: dict[str, list] = {}
+        dfs: dict[str, int] = {}
+        for t in terms:
+            entry = self._term_cache.pop(t)  # re-insert: LRU recency
+            self._term_cache[t] = entry
+            blocks, df_ = entry
+            if blocks:
+                by_term[t] = blocks
+                dfs[t] = df_
+        # evict AFTER assembly (current query's terms were just
+        # re-inserted, so the oldest entries are from prior queries).
+        while len(self._term_cache) > self.term_cache_max:
+            self._term_cache.pop(next(iter(self._term_cache)))
+        return by_term, dfs
 
     def _term_contribs(self, term: str, blocks: list, dfs: dict[str, int]):
         """Decode a term's blocks (ONE batch numpy pass over all blobs)
