@@ -347,12 +347,26 @@ class PersistedIndex:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
+    def _dataset(self, subdir: str):
+        """pyarrow dataset handle, opened once per subdir — directory
+        discovery over the term_bucket partition dirs costs tens of ms
+        and was paid per query before (serving-path p95)."""
+        cache = getattr(self, "_datasets", None)
+        if cache is None:
+            cache = self._datasets = {}
+        if subdir not in cache:
+            import pyarrow.dataset as pads
+
+            cache[subdir] = pads.dataset(
+                str(self.dir / subdir), format="parquet", partitioning="hive"
+            )
+        return cache[subdir]
+
     def _arrow_read(self, subdir: str, terms: list[str], columns: list[str]):
         import pyarrow.dataset as pads
 
         buckets = sorted(set(term_buckets_for(self.spark, terms, self.term_buckets).values()))
-        dataset = pads.dataset(str(self.dir / subdir), format="parquet", partitioning="hive")
-        return dataset.to_table(
+        return self._dataset(subdir).to_table(
             columns=columns,
             filter=pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms),
         )
