@@ -176,26 +176,16 @@ def main() -> None:
                 "efficiency_n8_to_n32": round(eff, 3),
             }
             if BENCH_SECOND_PAIR:
-                # N→4N on the unsaturated region of the box (see BASELINE.md)
-                s2 = min(
-                    (
-                        _run_build(
-                            f"local[{N_SMALL2}]", BENCH_PAGES, zpath,
-                            tmp / f"n_s2_{r}", queries=0, pages_dir=pages_dir,
-                        )
-                        for r in range(BENCH_ROUNDS)
-                    ),
-                    key=lambda r: r["build_secs"],
+                # N→4N on the unsaturated region of the box (see
+                # BASELINE.md) — one cross-JVM round each (in-JVM
+                # best-of-2 still applies) to bound total bench time.
+                s2 = _run_build(
+                    f"local[{N_SMALL2}]", BENCH_PAGES, zpath,
+                    tmp / "n_s2", queries=0, pages_dir=pages_dir,
                 )
-                b2 = min(
-                    (
-                        _run_build(
-                            f"local[{N_BIG2}]", BENCH_PAGES, zpath,
-                            tmp / f"n_b2_{r}", queries=0, pages_dir=pages_dir,
-                        )
-                        for r in range(BENCH_ROUNDS)
-                    ),
-                    key=lambda r: r["build_secs"],
+                b2 = _run_build(
+                    f"local[{N_BIG2}]", BENCH_PAGES, zpath,
+                    tmp / "n_b2", queries=0, pages_dir=pages_dir,
                 )
                 eff2 = b2["docs_per_sec"] / ((N_BIG2 / N_SMALL2) * s2["docs_per_sec"])
                 result["scaling"].update(

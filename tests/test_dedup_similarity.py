@@ -160,3 +160,16 @@ def test_lang_id_and_quality(spark):
     assert rows[5][1] == 0.0
     assert rows[1][1] > rows[4][1]  # natural language scores higher
     assert 0.0 <= rows[1][1] <= 1.0
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation finds multi-hop components: chain
+    a-b, b-c, plus an isolated pair and singletons."""
+    from vexor_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2, 7: 7}

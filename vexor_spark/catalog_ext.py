@@ -1122,6 +1122,123 @@ FROM (
 )"""
 
 
+# --- dedup clusters + end-to-end curation ------------------------------------
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs (keep-one
+    reduction): (doc_id, cluster_rep), singletons map to themselves.
+    Spark side: iterative min-label propagation (dedup.dup_clusters);
+    oracle: DuckDB recursive CTE reachability closure."""
+    from vexor_spark.operators.dedup import dup_clusters
+
+    docs = _tokenized_dups(spark, sf_dir)
+    pairs = near_dup_pairs(docs, "tokens", threshold=0.8)
+    out = dup_clusters(docs.select("doc_id"), pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+    )
+
+
+def _sql_dup_clusters() -> str:
+    return f"""WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_sql_near_dup_pairs()})),
+nodes AS (SELECT doc_id FROM ({SQL_DUP_DOCS})),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON w.node = e.s
+)
+SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS cluster_rep
+FROM walk GROUP BY node"""
+
+
+CURATION_MIN_QUALITY = 0.5
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation over a planted-duplicate corpus: exact-dedup
+    keep-one (min doc_id per fingerprint) + quality floor + language
+    tag — the filter+dedup shape of a training-data pipeline. Output:
+    (doc_id, lang, quality, n_tokens) of survivors."""
+    from vexor_spark.operators.textstats import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+        ws_token_count_col,
+    )
+
+    d = _dup_docs(spark, sf_dir)
+    toks = tokenize_col("text")
+    enriched = (
+        d.withColumn("fp", fingerprint_col(F.col("text")))
+        .withColumn("lang", lang_id_col(toks))
+        .withColumn("quality", F.round(quality_score_col(toks, F.col("text")), RND))
+        .withColumn("n_tokens", ws_token_count_col(F.col("text")).cast("long"))
+    )
+    reps = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        enriched.join(reps, ["fp", "doc_id"])  # keep-one per fingerprint
+        .filter(F.col("quality") >= CURATION_MIN_QUALITY)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "quality",
+            "n_tokens",
+        )
+    )
+
+
+def _sql_curated_corpus() -> str:
+    stop_hits = " + ".join(
+        f"len(list_filter(toks, t -> list_contains({list(ws)!r}, t)))"
+        for ws in LANG_STOPWORDS.values()
+    )
+    score_defs = ",\n    ".join(
+        f"len(list_filter(toks, t -> list_contains({list(ws)!r}, t)))::BIGINT AS s_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    cases = "\n      ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""WITH dd AS ({SQL_DUP_DOCS}),
+tok AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks
+  FROM dd
+),
+m AS (
+  SELECT doc_id, text, toks, len(toks)::DOUBLE AS n,
+    ({stop_hits})::DOUBLE AS stop_hits,
+    len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))::DOUBLE AS alpha,
+    {score_defs}
+  FROM tok
+),
+m2 AS (SELECT *, {best} AS best FROM m),
+enriched AS (
+  SELECT doc_id,
+    {_POLY.format(s='text')} AS fp,
+    CASE {cases}
+      ELSE 'und' END AS lang,
+    round(0.4 * least(n / 50.0, 1.0)
+        + 0.3 * least((CASE WHEN n > 0 THEN stop_hits / n ELSE 0.0 END) / 0.08, 1.0)
+        + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END), {RND}) AS quality,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
+  FROM m2
+),
+reps AS (SELECT fp, min(doc_id) AS doc_id FROM enriched GROUP BY fp)
+SELECT e.doc_id::BIGINT AS doc_id, e.lang, e.quality, e.n_tokens
+FROM enriched e JOIN reps r ON e.fp = r.fp AND e.doc_id = r.doc_id
+WHERE e.quality >= {CURATION_MIN_QUALITY}"""
+
+
 # --- multimodal: decode + feature-extract over binary media columns ---------
 #
 # The REAL mapInPandas decode kernel (operators/multimodal.py
@@ -1230,6 +1347,8 @@ EXT_QUERIES = {
     "chunk_outline": q_chunk_outline,
     "head_label": q_head_label,
     "keyword_top20": q_keyword_top20,
+    "dup_clusters": q_dup_clusters,
+    "curated_corpus": q_curated_corpus,
     "media_features": q_media_features,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1255,6 +1374,8 @@ EXT_ORACLE_SQL = {
     "chunk_outline": SQL_CHUNK_OUTLINE,
     "head_label": SQL_HEAD_LABEL,
     "keyword_top20": _sql_keyword_top20(),
+    "dup_clusters": _sql_dup_clusters(),
+    "curated_corpus": _sql_curated_corpus(),
     "media_features": _sql_media_features(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,

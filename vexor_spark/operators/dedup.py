@@ -258,6 +258,65 @@ def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
     return F.aggregate(weights, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_rep) — connected components over near-duplicate
+    pairs by iterative min-label propagation; singletons map to
+    themselves. The keep-one-copy reduction for a dedup pipeline:
+    representative = min doc_id of the component.
+
+    Each round every node takes min(own label, neighbors' labels) —
+    converges in O(component diameter) rounds (dup clusters are
+    near-cliques from LSH banding, so 2-3 rounds in practice; the
+    large-star/small-star optimization is the drop-in upgrade if
+    diameters ever grow). Per round: one shuffle join + one partial
+    aggregate, with an eager localCheckpoint to truncate the iterative
+    lineage (an unbounded plan is the classic iterative-algorithm
+    failure mode). Convergence is a driver-side changed-count check.
+    """
+    F_ = F
+    edges = pairs.select(
+        F_.col("doc_a").alias("s"), F_.col("doc_b").alias("d")
+    ).union(pairs.select(F_.col("doc_b").alias("s"), F_.col("doc_a").alias("d")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = docs.select(
+        F_.col(id_col).alias("node"), F_.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy("d")
+            .agg(F_.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["d"], "left")
+            .select(
+                "node",
+                F_.least(
+                    F_.col("label"), F_.coalesce("nbr_label", F_.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F_.col("n.label") != F_.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F_.col("node").alias(id_col), F_.col("label").alias("cluster_rep")
+    )
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(fingerprint, rep_doc_id, n_docs) — exact duplicate groups by
     whole-text rolling hash; representative = min doc_id (the
