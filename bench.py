@@ -56,7 +56,11 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "near_dup_pairs",
+    "dup_clusters",
+    "curated_corpus",
     "simhash",
+    "chunk_code",
+    "media_features",
     "lang_id",
     "quality_score",
     "chunk_full",

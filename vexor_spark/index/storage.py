@@ -334,6 +334,13 @@ class PersistedIndex:
         # like the reference reopens its SQLite cache).
         self._term_cache: "dict[str, tuple[list, int]]" = {}
         self.term_cache_max = 4096
+        # Second-level cache: fully-decoded (doc_ids, contributions)
+        # per term — repeated terms across queries skip the varint
+        # decode entirely. Bounded by TOTAL cached postings, since one
+        # head term can be the size of thousands of tail terms.
+        self._contrib_cache: "dict[str, tuple]" = {}
+        self._contrib_cached_postings = 0
+        self.contrib_cache_max_postings = 5_000_000
         self.postings = spark.read.parquet(str(self.dir / "postings"))
         self.docs = spark.read.parquet(str(self.dir / "docs"))
 
@@ -448,9 +455,12 @@ class PersistedIndex:
             self._term_cache.pop(next(iter(self._term_cache)))
         return by_term, dfs
 
-    def _term_contribs(self, term: str, blocks: list, dfs: dict[str, int]):
+    def _term_contribs(self, term: str, blocks: list, dfs: dict[str, int], *, full: bool = True):
         """Decode a term's blocks (ONE batch numpy pass over all blobs)
-        → (doc_ids, contributions)."""
+        → (doc_ids, contributions). `full=True` (the blocks are the
+        term's ENTIRE list) results memoize — idf/avgdl are fixed per
+        index instance, so contributions are reusable across queries;
+        partial (pruned-subset) decodes bypass the cache."""
         import math
 
         import numpy as np
@@ -458,12 +468,26 @@ class PersistedIndex:
         from vexor_spark.constants import BM25_B, BM25_K1
         from vexor_spark.functions.codec import decode_blocks_np
 
+        if full and term in self._contrib_cache:
+            return self._contrib_cache[term]
         n, avgdl = self.doc_count, self.avg_doc_len
         idf = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1.0)
         ids, tfs, dls = decode_blocks_np([b[5] for b in blocks], [b[4] for b in blocks])
         tfs = tfs.astype(np.float64)
         denom = tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl)
-        return ids, idf * tfs * (BM25_K1 + 1.0) / denom
+        out = (ids, idf * tfs * (BM25_K1 + 1.0) / denom)
+        if full:
+            self._contrib_cache[term] = out
+            self._contrib_cached_postings += len(ids)
+            while (
+                self._contrib_cached_postings > self.contrib_cache_max_postings
+                and len(self._contrib_cache) > 1
+            ):
+                old_t = next(iter(self._contrib_cache))
+                if old_t == term:
+                    break
+                self._contrib_cached_postings -= len(self._contrib_cache.pop(old_t)[0])
+        return out
 
     def _score_all_np(self, terms: list[str], by_term: dict, dfs: dict[str, int]):
         """Vectorized decode+score of every matched list (exact
@@ -547,7 +571,7 @@ class PersistedIndex:
                 ]
                 if not blocks:
                     continue
-            ids, cs = self._term_contribs(t, blocks, dfs)
+            ids, cs = self._term_contribs(t, blocks, dfs, full=frozen is None)
             if frozen is not None:
                 pos = np.searchsorted(frozen, ids)
                 mask = (pos < len(frozen)) & (frozen[np.minimum(pos, len(frozen) - 1)] == ids)
