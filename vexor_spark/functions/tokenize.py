@@ -37,6 +37,34 @@ def doc_len_col(text: Column | str) -> Column:
     return F.size(tokenize_col(text))
 
 
+def bert_union_tokenize_py(text: str | None, pre) -> list[str] | None:
+    """Scalar Bert-union contract (vexor/bm25.py:37-51): pre-tokenizer
+    pieces (stripped, lowercased, alnum-bearing only) extended with the
+    whole regex tokens not already among the sub-tokens. `pre` is any
+    object with `pre_tokenize_str(text) -> [(token, span), ...]` — the
+    real `tokenizers.BertPreTokenizer`, or a stub in tests
+    (test_tokenize.py proves this logic identical to the reference's
+    own union branch under a shared stub, since neither environment
+    has the real package)."""
+    import re
+
+    if text is None:
+        return None
+    tokens = [t for t, _ in pre.pre_tokenize_str(text)]
+    normalized: list[str] = []
+    for token in tokens:
+        cleaned = token.strip()
+        if not cleaned:
+            continue
+        if any(ch.isalnum() for ch in cleaned):
+            normalized.append(cleaned.lower())
+    sub = set(normalized)
+    normalized.extend(
+        w for w in re.findall(TOKEN_PATTERN, text.lower()) if w not in sub
+    )
+    return normalized
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_bert_union_udf(texts: pd.Series) -> pd.Series:
     """Bert-pre-tokenizer ∪ whole-token path (vexor/bm25.py:37-51).
@@ -45,29 +73,10 @@ def tokenize_bert_union_udf(texts: pd.Series) -> pd.Series:
     raises ImportError per-batch if absent (callers must gate on
     availability — see `has_bert_tokenizer()`).
     """
-    import re
-
     from tokenizers.pre_tokenizers import BertPreTokenizer  # noqa: gated import
 
-    token_re = re.compile(TOKEN_PATTERN)
     pre = BertPreTokenizer()
-
-    def one(text: str | None) -> list[str] | None:
-        if text is None:
-            return None
-        tokens = [t for t, _ in pre.pre_tokenize_str(text)]
-        normalized: list[str] = []
-        for token in tokens:
-            cleaned = token.strip()
-            if not cleaned:
-                continue
-            if any(ch.isalnum() for ch in cleaned):
-                normalized.append(cleaned.lower())
-        sub = set(normalized)
-        normalized.extend(w for w in token_re.findall(text.lower()) if w not in sub)
-        return normalized
-
-    return texts.map(one)
+    return texts.map(lambda t: bert_union_tokenize_py(t, pre))
 
 
 def has_bert_tokenizer() -> bool:
