@@ -105,3 +105,61 @@ def test_lsh_hot_bucket_cap_output_identical(spark):
     }
     assert nd_capped == nd_plain
     assert len(nd_capped) >= 300 * 299 // 2
+
+
+def test_simhash_hot_block_cap_output_identical(spark):
+    """Boilerplate docs share one simhash -> one hot block bucket; the
+    chunked cap must leave the (hamming, jaccard)-verified pair set
+    unchanged, and the blocked result must equal brute force (the
+    pigeonhole losslessness claim) on a mixed corpus."""
+    from pyspark.sql import functions as F
+
+    from vexor_spark.operators.dedup import (
+        shingle_hashes_from,
+        simhash_from_hashes,
+        simhash_near_dup_pairs,
+    )
+    from vexor_spark.operators.textstats import poly_hash_col
+
+    hot = [(i, ["common", "header", "footer", "nav", "text"] * 4) for i in range(200)]
+    cold = [(1000 + i, [f"w{i}x{j}" for j in range(15)]) for i in range(60)]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, tokens array<string>")
+
+    def pairs(max_bucket):
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"], round(r["jaccard"], 9))
+            for r in simhash_near_dup_pairs(
+                docs, max_bucket=max_bucket
+            ).collect()
+        }
+
+    capped = pairs(16)
+    assert capped == pairs(None)
+    # all C(200,2) identical-doc pairs survive with hamming 0, jaccard 1
+    hot_pairs = {(a, b) for a, b, h, j in capped if a < 200 and b < 200}
+    assert len(hot_pairs) == 200 * 199 // 2
+    assert all(h == 0 and j == 1.0 for a, b, h, j in capped if a < 200 and b < 200)
+
+    # brute-force cross-check of blocking losslessness on the full set
+    per_doc = docs.withColumn(
+        "_th", F.transform("tokens", lambda t: poly_hash_col(t))
+    ).select(
+        "doc_id",
+        simhash_from_hashes(F.col("_th")).alias("sim"),
+        F.array_distinct(shingle_hashes_from(F.col("_th"))).alias("sh"),
+    )
+    per = {r["doc_id"]: (r["sim"], set(r["sh"])) for r in per_doc.collect()}
+    brute = set()
+    ids = sorted(per)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, ha = per[a]
+            sb, hb = per[b]
+            ham = bin(sa ^ sb).count("1")
+            if ham > 2:
+                continue
+            inter = len(ha & hb)
+            jac = inter / (len(ha) + len(hb) - inter) if (ha or hb) else 0.0
+            if jac >= 0.8:
+                brute.add((a, b, ham, round(jac, 9)))
+    assert {(a, b, h, j) for a, b, h, j in capped} == brute

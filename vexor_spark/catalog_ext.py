@@ -26,6 +26,7 @@ from vexor_spark.operators.dedup import (
     minhash_signatures,
     near_dup_pairs,
     simhash_col,
+    simhash_near_dup_pairs,
 )
 from vexor_spark.operators.fusion import rrf_topk
 from vexor_spark.operators.textstats import (
@@ -690,6 +691,65 @@ hs AS (SELECT doc_id, list_transform(toks, t -> {_POLY.format(s='t')}) AS hashes
 SELECT doc_id::BIGINT AS doc_id, ({bit_terms})::BIGINT AS simhash FROM hs"""
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-blocked near-dup arm over the planted-duplicate corpus:
+    all pairs with hamming(simhash16) ≤ 2 and exact shingle Jaccard
+    ≥ 0.8. The Spark side blocks on hamming_max+1 bit-block keys
+    (lossless by pigeonhole); the oracle brute-forces every pair, so a
+    green row re-proves the blocking loses nothing."""
+    pairs = simhash_near_dup_pairs(
+        _tokenized_dups(spark, sf_dir), "tokens", hamming_max=2, threshold=0.8
+    )
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+        F.round("jaccard", RND).alias("jaccard"),
+    )
+
+
+def _sql_simhash_near_dup() -> str:
+    # sim over token hashes (th), guarded for empty docs (DuckDB
+    # list_reduce errors on empty lists) — empty tokens → all-zero sums
+    # → simhash 0, matching simhash_from_hashes.
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(th, h -> ((h >> {j}) & 1)*2 - 1),"
+        f" (a,b) -> a+b) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    shingle_cte = SQL_SHINGLE_HASHES.format(poly_t=_POLY.format(s="t")).strip()
+    return f"""WITH dd AS ({SQL_DUP_DOCS}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks
+  FROM dd
+),
+{shingle_cte},
+sims AS (
+  SELECT doc_id,
+         (CASE WHEN len(th) = 0 THEN 0 ELSE ({bit_terms}) END)::BIGINT AS sim
+  FROM th
+),
+shh AS (SELECT doc_id, list_distinct(hashes) AS hs FROM hs),
+-- brute force: every pair, no blocking — the stronger oracle.
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= 2
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, c.hamming,
+    (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
+    / (len(a.hs) + len(b.hs)
+       - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
+    AS jaccard
+  FROM cand c JOIN shh a ON c.doc_a = a.doc_id JOIN shh b ON c.doc_b = b.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, hamming,
+       round(jaccard, {RND}) AS jaccard
+FROM verified WHERE jaccard >= 0.8"""
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -1338,6 +1398,7 @@ EXT_QUERIES = {
     "minhash_sigs": q_minhash_sigs,
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1365,6 +1426,7 @@ EXT_ORACLE_SQL = {
     "minhash_sigs": _sql_minhash_sigs(),
     "near_dup_pairs": _sql_near_dup_pairs(),
     "simhash": _sql_simhash(),
+    "simhash_near_dup": _sql_simhash_near_dup(),
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),

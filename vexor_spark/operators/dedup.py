@@ -18,8 +18,13 @@ Scale notes:
 - Verification joins carry int64 SHINGLE HASHES, not shingle strings:
   the shuffled payload per doc is 8 bytes/shingle instead of the full
   n-gram text, and array_intersect/union compare longs.
-- SimHash gives a 16-bit partition key whose Hamming neighbors can be
-  enumerated for blocking.
+- SimHash gives a 16-bit key split into `d+1` bit-blocks for blocking:
+  any pair within Hamming distance d agrees on at least one whole block
+  (pigeonhole), so an equi-join on (block_index, block_value) finds ALL
+  Hamming-≤d pairs — `simhash_near_dup_pairs` is exact, not approximate,
+  for its (hamming ≤ d, jaccard ≥ t) criterion. 16 bits is the
+  cross-engine-exact test width; production would widen SIMHASH_BITS to
+  64 (more blocks, same algebra) for selectivity at 100 TB.
 """
 
 from __future__ import annotations
@@ -112,6 +117,53 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET = 1024
 
 
+def bucket_candidate_pairs(
+    keyed: DataFrame, *, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Distinct (doc_a, doc_b), doc_a < doc_b, for docs sharing any
+    `bucket_key` in `keyed(doc_id, bucket_key)` — the skew-bounded
+    self-join shared by MinHash-LSH banding and SimHash block keys.
+
+    A hot bucket of size m would put all m² comparisons in ONE task
+    under a plain equi-join. With `max_bucket` = C each bucket member
+    gets an intra-bucket index i (linear, partitioned window) and chunk
+    c = i div C; the left side keeps its own chunk, the right side
+    replicates row b to chunks 0..c_b. A pair (i_a < i_b ⇔ doc_a <
+    doc_b) meets exactly once at key (bucket_key, c_a) since c_a ≤ c_b,
+    so the OUTPUT is identical to the uncapped join while no task sees
+    more than C left rows × m right rows — per-task work bounded by C·m
+    instead of m², spread over ⌈m/C⌉ keys. Replication factor = ⌈m/C⌉
+    on the right side only. max_bucket=None restores the plain join.
+    """
+    if max_bucket is None:
+        left = keyed.select(F.col("doc_id").alias("doc_a"), "bucket_key")
+        right = keyed.select(F.col("doc_id").alias("doc_b"), "bucket_key")
+        return (
+            left.join(right, "bucket_key")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    w = Window.partitionBy("bucket_key").orderBy("doc_id")
+    idx = keyed.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "chunk", (F.col("i") / F.lit(int(max_bucket))).cast("int")
+    )
+    left = idx.select(
+        F.col("doc_id").alias("doc_a"), "bucket_key", F.col("chunk").alias("c")
+    )
+    right = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        "bucket_key",
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("c"),
+    )
+    return (
+        left.join(right, ["bucket_key", "c"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -119,20 +171,8 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs: docs sharing any band bucket.
-
-    Skew-bounded self-join: a boilerplate-hot band bucket of size m
-    would put all m² comparisons in ONE task under a plain equi-join.
-    With `max_bucket` = C each bucket member gets an intra-bucket index
-    i (linear, partitioned window) and chunk c = i div C; the left side
-    keeps its own chunk, the right side replicates row b to chunks
-    0..c_b. A pair (i_a < i_b ⇔ doc_a < doc_b) meets exactly once at
-    key (band_key, c_a) since c_a ≤ c_b, so the OUTPUT is identical to
-    the uncapped join while no task sees more than C left rows × m
-    right rows — per-task work bounded by C·m instead of m², spread
-    over ⌈m/C⌉ keys. Replication factor = ⌈m/C⌉ on the right side only.
-    max_bucket=None restores the plain equi-join.
-    """
+    """(doc_a, doc_b) candidate pairs: docs sharing any band bucket,
+    via the skew-bounded self-join (bucket_candidate_pairs)."""
     assert bands * rows_per_band <= MINHASH_K
     keyed = signatures.select(
         "doc_id",
@@ -150,35 +190,9 @@ def lsh_candidate_pairs(
                     for b in range(bands)
                 ]
             )
-        ).alias("band_key"),
+        ).alias("bucket_key"),
     )
-    if max_bucket is None:
-        left = keyed.select(F.col("doc_id").alias("doc_a"), "band_key")
-        right = keyed.select(F.col("doc_id").alias("doc_b"), "band_key")
-        return (
-            left.join(right, "band_key")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-    w = Window.partitionBy("band_key").orderBy("doc_id")
-    idx = keyed.withColumn("i", F.row_number().over(w) - 1).withColumn(
-        "chunk", (F.col("i") / F.lit(int(max_bucket))).cast("int")
-    )
-    left = idx.select(
-        F.col("doc_id").alias("doc_a"), "band_key", F.col("chunk").alias("c")
-    )
-    right = idx.select(
-        F.col("doc_id").alias("doc_b"),
-        "band_key",
-        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("c"),
-    )
-    return (
-        left.join(right, ["band_key", "c"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return bucket_candidate_pairs(keyed, max_bucket=max_bucket)
 
 
 def jaccard_col(set_a: Column, set_b: Column) -> Column:
@@ -228,7 +242,13 @@ def near_dup_pairs(
 
 def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over token occurrences: bit j is the sign of
-    Σ_tokens (2·bit_j(h(token)) − 1).
+    Σ_tokens (2·bit_j(h(token)) − 1)."""
+    return simhash_from_hashes(F.transform(tokens, lambda t: poly_hash_col(t)), bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash given a PRE-COMPUTED token-hash array column (share the
+    hash pass with the shingle machinery via a projection barrier).
 
     ONE pass over the token-hash array: the fold accumulates all `bits`
     per-bit sums in an array<long> (zip_with inside the aggregate
@@ -237,7 +257,6 @@ def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
     in doubles for h < 2^53 and the truncating cast is floor for
     positives (F.shiftright rejects lambda-variable Columns in
     pyspark 4, and HOF lambdas must be exactly 2-ary)."""
-    hashes = F.transform(tokens, lambda t: poly_hash_col(t))
     init = F.array_repeat(F.lit(0).cast("long"), bits)
     idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
@@ -256,6 +275,112 @@ def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
         ),
     )
     return F.aggregate(weights, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def simhash_block_bounds(bits: int = SIMHASH_BITS, blocks: int = 3) -> list[tuple[int, int]]:
+    """(lo_bit, width) per block — `bits` split as evenly as possible
+    into `blocks` contiguous bit ranges (low blocks get the remainder)."""
+    base, rem = divmod(bits, blocks)
+    bounds: list[tuple[int, int]] = []
+    lo = 0
+    for i in range(blocks):
+        width = base + (1 if i < rem else 0)
+        bounds.append((lo, width))
+        lo += width
+    return bounds
+
+
+def simhash_block_keys(
+    sim: Column, *, bits: int = SIMHASH_BITS, blocks: int = 3
+) -> Column:
+    """array<string> of `blocks` blocking keys "i:blockvalue" for a
+    simhash column. Pigeonhole: hamming(a, b) ≤ blocks−1 ⇒ the ≤
+    blocks−1 differing bits leave at least one block untouched, so a
+    and b share that block's key — blocking on these keys loses NO pair
+    within Hamming distance blocks−1."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                (F.shiftright(sim, lo).bitwiseAND(F.lit((1 << width) - 1))).cast(
+                    "string"
+                ),
+            )
+            for i, (lo, width) in enumerate(simhash_block_bounds(bits, blocks))
+        ]
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    *,
+    hamming_max: int = 2,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming, jaccard) — the SimHash-blocked near-dup
+    arm: ALL pairs with hamming(simhash) ≤ hamming_max AND exact n-gram
+    Jaccard ≥ threshold.
+
+    Unlike the MinHash-LSH arm (probabilistic recall), this arm is
+    EXACT for its criterion: `blocks = hamming_max + 1` bit-block keys
+    guarantee every Hamming-≤d pair meets in some bucket (pigeonhole,
+    simhash_block_keys), the Hamming filter is then verified on the
+    real 16-bit distance (bit_count of xor), and survivors get the same
+    exact shingle-set Jaccard as near_dup_pairs. The DuckDB oracle
+    deliberately brute-forces all O(n²) pairs, so a green oracle row
+    empirically re-proves the blocking's losslessness on the corpus.
+
+    ONE projection computes token hashes per doc (`_th` barrier — HOF
+    lambdas get no common-subexpression elimination, see
+    shingle_hashes_from); both the simhash fold and the shingle-set
+    fold read it. No explode/groupBy shuffle on the build side — per
+    doc this is pure array algebra; the only shuffles are the bucketed
+    pair join (skew-capped like LSH) and the two per-side lookups.
+    """
+    blocks = hamming_max + 1
+    with_th = docs.withColumn(
+        "_th", F.transform(tokens_col, lambda t: poly_hash_col(t))
+    )
+    per_doc = with_th.select(
+        "doc_id",
+        simhash_from_hashes(F.col("_th"), bits).alias("sim"),
+        F.array_sort(
+            F.array_distinct(shingle_hashes_from(F.col("_th"), shingle_n))
+        ).alias("sh"),
+    )
+    keyed = per_doc.select(
+        "doc_id",
+        F.explode(simhash_block_keys(F.col("sim"), bits=bits, blocks=blocks)).alias(
+            "bucket_key"
+        ),
+    )
+    pairs = bucket_candidate_pairs(keyed, max_bucket=max_bucket)
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim").alias("sim_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim").alias("sim_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "hamming", "jaccard")
+    )
 
 
 def dup_clusters(
