@@ -173,3 +173,34 @@ def test_dup_clusters_connected_components(spark):
     )
     got = {r["doc_id"]: r["cluster_rep"] for r in dup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2, 7: 7}
+
+
+def test_dup_clusters_giant_components_round_bound(spark):
+    """Pointer jumping must collapse a pathological 10k-node duplicate
+    CHAIN in O(log n) rounds (plain min-propagation would need 10k) and
+    a 400-clique in ~2; outputs are the component-min labels."""
+    from vexor_spark.operators.dedup import dup_clusters
+
+    n = 10_000
+    chain_nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain_edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    m: dict = {}
+    got = dup_clusters(chain_nodes, chain_edges, max_iters=30, metrics=m)
+    assert got.filter(F.col("cluster_rep") != 0).count() == 0
+    assert got.count() == n
+    # deficit grows ≥ 2d+2 per round → ≤ ceil(log2(n)) + slack
+    assert m["rounds"] <= 16, m
+
+    k = 400
+    clique_nodes = spark.range(k).select((F.col("id") + 50).alias("doc_id"))
+    clique_edges = (
+        clique_nodes.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(clique_nodes.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    m2: dict = {}
+    got2 = dup_clusters(clique_nodes, clique_edges, max_iters=10, metrics=m2)
+    assert got2.filter(F.col("cluster_rep") != 50).count() == 0
+    assert m2["rounds"] <= 3, m2

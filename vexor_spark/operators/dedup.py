@@ -389,20 +389,27 @@ def dup_clusters(
     *,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_rep) — connected components over near-duplicate
-    pairs by iterative min-label propagation; singletons map to
-    themselves. The keep-one-copy reduction for a dedup pipeline:
+    pairs by min-label propagation WITH pointer jumping; singletons map
+    to themselves. The keep-one-copy reduction for a dedup pipeline:
     representative = min doc_id of the component.
 
-    Each round every node takes min(own label, neighbors' labels) —
-    converges in O(component diameter) rounds (dup clusters are
-    near-cliques from LSH banding, so 2-3 rounds in practice; the
-    large-star/small-star optimization is the drop-in upgrade if
-    diameters ever grow). Per round: one shuffle join + one partial
-    aggregate, with an eager localCheckpoint to truncate the iterative
-    lineage (an unbounded plan is the classic iterative-algorithm
-    failure mode). Convergence is a driver-side changed-count check.
+    Each round every node takes min(own label, neighbors' labels), then
+    shortcuts through its label's label (label(v) ← label(label(v)) —
+    labels are always node ids, so the label table doubles as the
+    pointer table). Plain propagation needs O(component diameter)
+    rounds — a pathological 10k-doc duplicate CHAIN (a, a≈b, b≈c, …,
+    each link individually near-dup) would need 10k rounds; the
+    shortcut makes the label deficit grow geometrically (d_{r+1} ≥
+    2·d_r + 2 on a path), so rounds = O(log diameter): ~13 rounds for a
+    10k chain, 1-2 for the LSH near-cliques that dominate real corpora
+    (tests/test_dedup_similarity.py pins both bounds). Per round: two
+    shuffle joins + one partial aggregate, with an eager localCheckpoint
+    to truncate the iterative lineage (an unbounded plan is the classic
+    iterative-algorithm failure mode). Convergence is a driver-side
+    changed-count check; `metrics["rounds"]` records the count.
     """
     F_ = F
     edges = pairs.select(
@@ -412,19 +419,31 @@ def dup_clusters(
     labels = docs.select(
         F_.col(id_col).alias("node"), F_.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr = (
             edges.join(labels, edges["s"] == labels["node"])
             .groupBy("d")
             .agg(F_.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(nbr, labels["node"] == nbr["d"], "left").select(
+            "node",
+            F_.least(
+                F_.col("label"), F_.coalesce("nbr_label", F_.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label ← label(label). Every label is a node id
+        # (init self; mins of node ids), so the lookup always resolves;
+        # the left join + coalesce is belt-and-braces for filtered docs.
+        jump = propagated.select(
+            F_.col("node").alias("label"), F_.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(nbr, labels["node"] == nbr["d"], "left")
+            propagated.join(jump, "label", "left")
             .select(
                 "node",
-                F_.least(
-                    F_.col("label"), F_.coalesce("nbr_label", F_.col("label"))
-                ).alias("label"),
+                F_.coalesce("label2", F_.col("label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -437,6 +456,8 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if metrics is not None:
+        metrics["rounds"] = rounds
     return labels.select(
         F_.col("node").alias(id_col), F_.col("label").alias("cluster_rep")
     )
