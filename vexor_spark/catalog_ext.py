@@ -750,6 +750,82 @@ SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, hamming,
 FROM verified WHERE jaccard >= 0.8"""
 
 
+# --- exclude-pattern filter (S3/F3) -----------------------------------------
+
+# Deterministic repo-like paths over documents (the synthetic-source
+# trick from chunk_code): 6 dirs × 7 names = 42 shapes exercising
+# dir-only, extension sugar, '**', '*', '?', and negation rules.
+_EXC_DIRS = ["src", "tests", "docs", "node_modules/pkg", "build", "src/sub"]
+_EXC_NAMES = [
+    "main.py", "util.log", "keep.tmp", "x.tmp", "draft1.md", "notes.md", "data.csv",
+]
+_EXC_PATTERNS = [
+    ".log",            # bare-extension sugar -> **/*.log
+    "node_modules/",   # dir-only, any depth
+    "build/**",        # contents-only
+    "src/*.tmp",       # anchored single-star (does NOT hit src/sub)
+    "!src/keep.tmp",   # negation (last match wins)
+    "**/draft?.md",    # any-depth '?' glob
+]
+
+
+def q_exclude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gitignore-grammar exclusion verdict per synthesized path —
+    excluded_col is pure JVM regexp algebra (functions/ignore.py), the
+    grammar itself is pinned by `git check-ignore` parity
+    (tests/test_ignore.py)."""
+    from vexor_spark.functions.ignore import excluded_col
+
+    d = docs_table(spark, sf_dir)
+    path = F.concat_ws(
+        "/",
+        F.element_at(F.array(*[F.lit(x) for x in _EXC_DIRS]), (F.col("doc_id") % 6 + 1).cast("int")),
+        F.element_at(F.array(*[F.lit(x) for x in _EXC_NAMES]), (F.col("doc_id") % 7 + 1).cast("int")),
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        path.alias("path"),
+        excluded_col(path, _EXC_PATTERNS, max_depth=4).alias("excluded"),
+    )
+
+
+def _sql_exclude_filter() -> str:
+    """DuckDB oracle: same compiled regexes (compilation is pinned by
+    the git parity suite), but the last-match-wins folds and the
+    ancestor-dir walk are re-expressed independently as nested CASE
+    over regexp_matches."""
+    from vexor_spark.functions.ignore import compile_patterns, normalize_exclude_patterns
+
+    compiled = compile_patterns(normalize_exclude_patterns(_EXC_PATTERNS))
+
+    def last_match(subj: str, is_dir: bool) -> str:
+        expr = "FALSE"
+        for p in compiled:
+            if p.dir_only and not is_dir:
+                continue
+            expr = (
+                f"CASE WHEN regexp_matches({subj}, '{p.regex}') "
+                f"THEN {'FALSE' if p.negated else 'TRUE'} ELSE ({expr}) END"
+            )
+        return expr
+
+    dirs = "[" + ", ".join(f"'{x}'" for x in _EXC_DIRS) + "]"
+    names = "[" + ", ".join(f"'{x}'" for x in _EXC_NAMES) + "]"
+    return f"""WITH p AS (
+  SELECT doc_id,
+         {dirs}[(doc_id % 6) + 1] || '/' || {names}[(doc_id % 7) + 1] AS path
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, path, string_split(path, '/') AS c FROM p
+)
+SELECT doc_id::BIGINT AS doc_id, path,
+  CASE WHEN len(c) > 1 AND ({last_match('c[1]', True)}) THEN TRUE
+       WHEN len(c) > 2 AND ({last_match("c[1] || '/' || c[2]", True)}) THEN TRUE
+       ELSE ({last_match('path', False)}) END AS excluded
+FROM parts"""
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -1399,6 +1475,7 @@ EXT_QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
+    "exclude_filter": q_exclude_filter,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1427,6 +1504,7 @@ EXT_ORACLE_SQL = {
     "near_dup_pairs": _sql_near_dup_pairs(),
     "simhash": _sql_simhash(),
     "simhash_near_dup": _sql_simhash_near_dup(),
+    "exclude_filter": _sql_exclude_filter(),
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "quality_score": _sql_quality(),

@@ -50,18 +50,28 @@ class InMemoryIndex:
         *,
         round_dp: int | None = None,
         url_prefix: str | None = None,
+        exclude_patterns: list[str] | None = None,
     ) -> DataFrame:
-        """url_prefix narrows results post-hoc with FULL-corpus BM25
-        stats — the reference's superset-index reuse semantics
-        (search_service.py:999-1061 + filters :1064-1215: df/avgdl come
-        from the superset index, docs outside the filter are dropped
-        before top-k)."""
+        """url_prefix / exclude_patterns narrow results post-hoc with
+        FULL-corpus BM25 stats — the reference's superset-index reuse
+        semantics (search_service.py:999-1061 + filters :1064-1215:
+        df/avgdl come from the superset index, docs outside the filter
+        are dropped before top-k). exclude_patterns follow the
+        gitignore grammar (functions/ignore.py, vexor/utils.py:51-99)
+        applied to the url's root-relative path."""
         scored = score_postings_df(self.postings, query, self.doc_count, self.avg_doc_len)
         if url_prefix is not None:
             allowed = self.docs.filter(
                 F.col("url").startswith(url_prefix)
             ).select("doc_id")
             scored = scored.join(allowed, "doc_id", "left_semi")
+        if exclude_patterns:
+            from vexor_spark.functions.ignore import excluded_col, url_rel_path_col
+
+            kept = self.docs.filter(
+                ~excluded_col(url_rel_path_col(F.col("url")), exclude_patterns)
+            ).select("doc_id")
+            scored = scored.join(kept, "doc_id", "left_semi")
         ranked = top_k(scored, k, round_dp=round_dp)
         # Decorate with chunk metadata via broadcast join (reference J6,
         # search_service.py:524-550 — k ≤ 150 so the ranked side is tiny).
