@@ -287,17 +287,264 @@ def _class_chunks(node, start, end, sliced, sig_line, node_start, node_end, exte
     return out
 
 
-def extract_js_chunks(source: str, suffix: str) -> list[CodeChunk]:
-    """JS/TS arm — requires tree-sitter grammars, optional in the
-    reference too (js_parser.py:24-31): absent parsers → [] → the
-    caller falls back to `full`, matching the reference bit-for-bit in
-    this environment."""
-    try:  # pragma: no cover - tree-sitter absent in this environment
-        import tree_sitter  # noqa: F401
-        import tree_sitter_javascript  # noqa: F401
+# --- JS/TS tree-sitter chunking ----------------------------------------------
+
+_JS_SUFFIXES = {".js", ".jsx", ".mjs", ".cjs"}
+_TS_SUFFIXES = {".ts", ".mts", ".cts"}
+_TSX_SUFFIXES = {".tsx"}
+_JS_DECL_TYPES = (
+    "function_declaration",
+    "class_declaration",
+    "lexical_declaration",
+    "variable_declaration",
+)
+
+
+def _js_parser_for(suffix: str):
+    """Configured tree-sitter parser, or None when the grammars are
+    absent — the reference treats them as optional the same way
+    (js_parser.py:24-44), so missing libs fall back to `full` on both
+    sides. The parity suite injects a stub parser here AND into the
+    reference's js_parser to prove the walking logic below without the
+    real grammars (tests/test_js_chunks.py)."""
+    try:
+        from tree_sitter import Language, Parser
+        import tree_sitter_javascript as ts_js
+        import tree_sitter_typescript as ts_ts
     except ImportError:
+        return None
+    s = suffix.lower()
+    if s in _JS_SUFFIXES:
+        lang = Language(ts_js.language())
+    elif s in _TSX_SUFFIXES:
+        lang = Language(ts_ts.language_tsx())
+    elif s in _TS_SUFFIXES:
+        lang = Language(ts_ts.language_typescript())
+    else:
+        return None
+    return Parser(lang)
+
+
+def _trim_js_doc(block: list[str]) -> str | None:
+    """Doc-comment block trim: ≤10 lines / ≤500 chars
+    (js_parser.py:112-123, content_extract_service.py:18-19)."""
+    if not block:
+        return None
+    kept = block[:DOC_COMMENT_MAX_LINES]
+    text = "\n".join(ln.rstrip("\n") for ln in kept).strip()
+    if not text:
+        return None
+    if len(text) > DOC_COMMENT_MAX_CHARS:
+        text = text[:DOC_COMMENT_MAX_CHARS].rstrip()
+    return text or None
+
+
+def _js_doc_comment(lines: list[str], start_line: int) -> tuple[int, str] | None:
+    """Contiguous `//` run, else a closed `/* … */` block, directly
+    above start_line (js_parser.py:126-171). Returns (1-based first
+    comment line, trimmed text)."""
+    if start_line <= 1:
+        return None
+    above = start_line - 2  # 0-based index of the line above
+    if above >= 0 and lines[above].strip():
+        idx = above
+        while idx >= 0 and lines[idx].strip().startswith("//"):
+            idx -= 1
+        first = idx + 1
+        if first < start_line - 1:
+            text = _trim_js_doc(lines[first : start_line - 1])
+            if text:
+                return first + 1, text
+    if above < 0:
+        return None
+    tail = lines[above].strip()
+    if not tail or "*/" not in tail:
+        return None
+    idx = above
+    while idx >= 0 and "/*" not in lines[idx]:
+        idx -= 1
+    if idx < 0 or not lines[idx].lstrip().startswith("/*"):
+        return None
+    text = _trim_js_doc(lines[idx : start_line - 1])
+    if not text:
+        return None
+    return idx + 1, text
+
+
+def extract_js_chunks(source: str, suffix: str) -> list[CodeChunk]:
+    """JS/TS AST chunks: top-level functions, arrow-function consts,
+    classes with method rosters, per-method chunks, doc-comment
+    extension, export unwrapping, and module-gap chunks — the walking
+    and assembly semantics of vexor/services/js_parser.py:185-435,
+    restructured around a symbol-emitter helper. Requires tree-sitter
+    (optional in the reference too); stub-parity-proven chunk-for-chunk
+    against the reference's own extract_js_chunks under an injected
+    stub parser."""
+    if suffix.lower() not in CODE_SUFFIXES_JS:
         return []
-    return []  # pragma: no cover - grammar wiring lands with the libs
+    parser = _js_parser_for(suffix)
+    if parser is None:
+        return []
+    data = source.encode("utf-8")
+    if not data:
+        return []
+    try:
+        root = parser.parse(data).root_node
+    except Exception:
+        return []
+    if root is None:
+        return []
+
+    lines = source.splitlines(keepends=True)
+    max_line = len(lines)
+
+    def text_of(node) -> str:
+        return data[node.start_byte : node.end_byte].decode("utf-8", errors="replace")
+
+    def line_of(offset: int) -> int:
+        return data[:offset].decode("utf-8", errors="replace").count("\n") + 1
+
+    def child_of(node, *types):
+        for c in node.children:
+            if c.type in types:
+                return c
+        return None
+
+    def name_of(node, *types) -> str | None:
+        c = child_of(node, *types)
+        return text_of(c) if c is not None else None
+
+    def first_line(text: str) -> str:
+        for ln in text.splitlines():
+            if ln.strip():
+                return ln.strip()
+        return text[:80] if text else ""
+
+    def slice_lines(start: int, end: int) -> str:
+        if not max_line or start < 1:
+            return ""
+        start = max(1, min(start, max_line))
+        end = max(start, min(end, max_line))
+        return "".join(lines[start - 1 : end]).strip()
+
+    # (sort_key, end, kind, name, display, text)
+    symbols: list[tuple[int, int, str, str, str, str]] = []
+
+    def with_doc(start_line: int, raw: str) -> tuple[int, str, str | None]:
+        doc = _js_doc_comment(lines, start_line)
+        if not doc:
+            return start_line, raw, None
+        comment_start, comment_text = doc
+        return comment_start, f"{comment_text}\n{raw}", comment_text
+
+    def arrow_declarator(decl_node):
+        for c in decl_node.children:
+            if c.type == "variable_declarator" and child_of(c, "arrow_function"):
+                return c
+        return None
+
+    def emit_function(name: str | None, display: str, start: int, end: int, raw: str):
+        start, text, _ = with_doc(start, raw)
+        symbols.append((start, end, "function", name or "anonymous", display, text))
+
+    def emit_class(node, start: int, end: int, raw: str, *, display: str):
+        cname = name_of(node, "type_identifier", "identifier") or "AnonymousClass"
+        body = child_of(node, "class_body")
+        methods = (
+            [c for c in body.children if c.type == "method_definition"] if body else []
+        )
+        method_names = [
+            n for n in (name_of(m, "property_identifier") for m in methods) if n
+        ]
+        start, _, doc_text = with_doc(start, raw)
+        parts = ([doc_text] if doc_text else []) + [first_line(raw)]
+        if method_names:
+            parts.append("Methods: " + ", ".join(method_names))
+        symbols.append(
+            (start, end, "class", cname, display.format(name=cname), "\n".join(parts))
+        )
+        for m in methods:
+            mname = name_of(m, "property_identifier")
+            if not mname:
+                continue
+            m_start = line_of(m.start_byte)
+            m_end = line_of(m.end_byte)
+            m_start, m_text, _ = with_doc(m_start, text_of(m))
+            qual = f"{cname}.{mname}"
+            symbols.append((m_start, m_end, "method", qual, qual, m_text))
+
+    for node in root.children:
+        start = line_of(node.start_byte)
+        end = line_of(node.end_byte)
+        raw = text_of(node)
+        ntype = node.type
+        if ntype == "export_statement":
+            inner = child_of(node, *_JS_DECL_TYPES)
+            if inner is None:
+                continue
+            # exported symbols keep the export node's range and text
+            # (js_parser.py:322-379)
+            if inner.type == "function_declaration":
+                emit_function(
+                    name_of(inner, "identifier"), first_line(raw), start, end, raw
+                )
+            elif inner.type == "class_declaration":
+                emit_class(inner, start, end, raw, display="export class {name}")
+            else:
+                # every arrow declarator of an exported declaration
+                # emits (js_parser.py:372-378), unlike the non-export
+                # arm which stops at the first (:264-271)
+                for c in inner.children:
+                    if c.type == "variable_declarator" and child_of(
+                        c, "arrow_function"
+                    ):
+                        emit_function(
+                            name_of(c, "identifier"), first_line(raw), start, end, raw
+                        )
+        elif ntype == "function_declaration":
+            emit_function(name_of(node, "identifier"), first_line(raw), start, end, raw)
+        elif ntype == "class_declaration":
+            emit_class(node, start, end, raw, display="class {name}")
+        elif ntype in ("lexical_declaration", "variable_declaration"):
+            decl = arrow_declarator(node)
+            if decl is not None:
+                emit_function(
+                    name_of(decl, "identifier"), first_line(raw), start, end, raw
+                )
+
+    symbols.sort(key=lambda s: s[0])
+
+    chunks: list[CodeChunk] = []
+
+    def add_module(start: int, end: int, *, prelude: bool) -> None:
+        text = slice_lines(start, end)
+        if text.strip():
+            chunks.append(
+                CodeChunk(
+                    "module",
+                    "module" if prelude else "module_globals",
+                    "module" if prelude else "module globals",
+                    text,
+                    start,
+                    end,
+                )
+            )
+
+    if not symbols:
+        add_module(1, max_line, prelude=True)
+        return chunks
+
+    cursor = 1
+    seen = False
+    for start, end, kind, name, display, text in symbols:
+        if cursor < start:
+            add_module(cursor, start - 1, prelude=not seen)
+        chunks.append(CodeChunk(kind, name, display, text, start, end))
+        cursor = end + 1
+        seen = True
+    if cursor <= max_line:
+        add_module(cursor, max_line, prelude=False)
+    return chunks
 
 
 def extract_code_chunks(source: str, suffix: str) -> list[CodeChunk]:
