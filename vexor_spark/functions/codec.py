@@ -164,18 +164,20 @@ def decode_blocks_np(blobs: list[bytes], counts: list[int]):
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    max_len = int((ends - starts).max()) + 1 if len(ends) else 1
-    if max_len > 8:  # values ≥ 2^56: fall back per blob (never ours)
+    lens = ends - starts + 1
+    if len(lens) and int(lens.max()) > 8:  # ≥2^56: per-blob fallback (never ours)
         ids_l, tf_l, dl_l = [], [], []
         for blob in blobs:
             i, t, d = decode_posting_list_np(blob)
             ids_l.append(i); tf_l.append(t); dl_l.append(d)
         return (np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l))
-    idx = starts[:, None] + np.arange(max_len)[None, :]
-    valid = idx <= ends[:, None]
-    np.clip(idx, 0, len(a) - 1, out=idx)
-    weights = (np.int64(1) << (7 * np.arange(max_len, dtype=np.int64)))[None, :]
-    vals = ((a[idx] & 0x7F) * weights * valid).sum(axis=1)
+    # linear varint assembly: each byte contributes (b & 0x7F) << 7·pos
+    # where pos is its offset inside its own varint; reduceat sums each
+    # varint's byte contributions. O(bytes) with no 2D gather matrix
+    # (the former (varints × max_len) broadcast was the serving-path
+    # p95 hot spot — ~3× slower on high-df lists).
+    pos = np.arange(len(a), dtype=np.int64) - np.repeat(starts, lens)
+    vals = np.add.reduceat((a & 0x7F) << (7 * pos), starts)
 
     ns = np.asarray(counts, dtype=np.int64)
     if int(ns.sum()) == 0:

@@ -340,7 +340,9 @@ class PersistedIndex:
         # head term can be the size of thousands of tail terms.
         self._contrib_cache: "dict[str, tuple]" = {}
         self._contrib_cached_postings = 0
-        self.contrib_cache_max_postings = 5_000_000
+        # 20M postings ≈ 320 MB of (id, contribution) pairs — a modest
+        # slice of a serving node's RAM; warm() spends at most half.
+        self.contrib_cache_max_postings = 20_000_000
         self.postings = spark.read.parquet(str(self.dir / "postings"))
         self.docs = spark.read.parquet(str(self.dir / "docs"))
 
@@ -389,6 +391,34 @@ class PersistedIndex:
                 tbl.column("max_kernel").to_pylist(),
             )
         }
+
+    def warm(self, top_df_terms: int = 256) -> int:
+        """Pre-decode the highest-df terms' contribution vectors — the
+        cache warmup a long-lived serving process runs at open. High-df
+        terms dominate cold-query tail latency (their lists are the
+        biggest decodes); rare terms stay cheap cold. Stops early when
+        the contribution cache budget is half-spent so warmed entries
+        don't evict each other. Returns the number of terms warmed."""
+        tbl = self._dataset("dict").to_table(columns=["term", "df"])
+        pairs = sorted(
+            zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()),
+            key=lambda p: -p[1],
+        )
+        budget = self.contrib_cache_max_postings // 2
+        chosen: list[str] = []
+        spent = 0
+        for term, df_ in pairs:
+            if len(chosen) >= top_df_terms or spent + int(df_) > budget:
+                break
+            chosen.append(term)
+            spent += int(df_)
+        if not chosen:
+            return 0
+        by_term, dfs = self._term_blocks_cached(chosen)
+        for t in chosen:
+            if t in by_term:
+                self._term_contribs(t, by_term[t], dfs)
+        return len(chosen)
 
     # --- query paths --------------------------------------------------------
 
@@ -491,24 +521,32 @@ class PersistedIndex:
 
     def _score_all_np(self, terms: list[str], by_term: dict, dfs: dict[str, int]):
         """Vectorized decode+score of every matched list (exact
-        score_postings semantics, bm25.py:64-89)."""
+        score_postings semantics, bm25.py:64-89).
+
+        Doc ids are dense row numbers in [0, doc_count), so the
+        accumulator is a flat array indexed by doc id: per-term
+        `acc[ids] += cs` is safe (ids are unique within one posting
+        list) and adds contributions in the same term order as the
+        former concatenate+unique+add.at, so float sums are
+        bit-identical — without any O(n log n) sort. Serving-path
+        only: the distributed query path never builds a dense
+        per-corpus array."""
         import numpy as np
 
-        id_parts, c_parts = [], []
+        acc = np.zeros(self.doc_count, np.float64)
+        seen = np.zeros(self.doc_count, bool)
+        hit = False
         for t in terms:
             if t not in by_term:
                 continue
             ids, cs = self._term_contribs(t, by_term[t], dfs)
-            id_parts.append(ids)
-            c_parts.append(cs)
-        if not id_parts:
+            acc[ids] += cs
+            seen[ids] = True
+            hit = True
+        if not hit:
             return np.array([], np.int64), np.array([], np.float64)
-        all_ids = np.concatenate(id_parts)
-        all_cs = np.concatenate(c_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        sums = np.zeros(len(uniq), np.float64)
-        np.add.at(sums, inv, all_cs)
-        return uniq, sums
+        uniq = np.flatnonzero(seen)
+        return uniq, acc[uniq]
 
     def _search_local_pruned(
         self,
@@ -527,6 +565,12 @@ class PersistedIndex:
         threshold is valid; frozen docs still receive every remaining
         contribution ⇒ returned scores are exact, and excluded docs are
         provably outside the top-k.
+
+        Accumulation is a dense array indexed by doc id (dense row
+        numbers — see _score_all_np): per-term adds happen in the same
+        order as the former concatenate/unique/add.at plan, so sums
+        stay bit-identical, and the freeze check is an O(doc_count)
+        partition instead of repeated O(n log n) uniques.
         """
         import math
 
@@ -543,20 +587,11 @@ class PersistedIndex:
         order = sorted(idf, key=lambda t: -ub[t])
         remaining = sum(ub.values())
 
-        id_parts: list = []
-        c_parts: list = []
-        frozen: np.ndarray | None = None
+        acc = np.zeros(n, np.float64)
+        seen = np.zeros(n, bool)
+        frozen: np.ndarray | None = None  # sorted frozen doc ids
+        frozen_mask: np.ndarray | None = None
         processed_ub = 0.0
-
-        def aggregate():
-            if not id_parts:
-                return np.array([], np.int64), np.array([], np.float64)
-            all_ids = np.concatenate(id_parts)
-            all_cs = np.concatenate(c_parts)
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            sums = np.zeros(len(uniq), np.float64)
-            np.add.at(sums, inv, all_cs)
-            return uniq, sums
 
         for t in order:
             remaining -= ub[t]
@@ -572,24 +607,27 @@ class PersistedIndex:
                 if not blocks:
                     continue
             ids, cs = self._term_contribs(t, blocks, dfs, full=frozen is None)
-            if frozen is not None:
-                pos = np.searchsorted(frozen, ids)
-                mask = (pos < len(frozen)) & (frozen[np.minimum(pos, len(frozen) - 1)] == ids)
-                ids, cs = ids[mask], cs[mask]
-            id_parts.append(ids)
-            c_parts.append(cs)
+            if frozen_mask is not None:
+                keep = frozen_mask[ids]
+                ids, cs = ids[keep], cs[keep]
+                acc[ids] += cs
+            else:
+                acc[ids] += cs
+                seen[ids] = True
             processed_ub += ub[t]
-            # The aggregation (for the freeze check) is only worth doing
-            # when it could possibly succeed: theta ≤ best partial ≤
-            # processed_ub, so remaining < processed_ub is necessary.
+            # The freeze check is only worth doing when it could
+            # possibly succeed: theta ≤ best partial ≤ processed_ub,
+            # so remaining < processed_ub is necessary.
             if frozen is None and remaining < processed_ub:
-                acc_ids, acc_sums = aggregate()
-                if len(acc_ids) >= k:
-                    theta = np.partition(acc_sums, len(acc_sums) - k)[len(acc_sums) - k]
+                cand = np.flatnonzero(seen)
+                if len(cand) >= k:
+                    part = acc[cand]
+                    theta = np.partition(part, len(part) - k)[len(part) - k]
                     if remaining < theta:
-                        frozen = acc_ids
-                        id_parts, c_parts = [acc_ids], [acc_sums]
-        return aggregate()
+                        frozen = cand
+                        frozen_mask = seen
+        uniq = np.flatnonzero(seen)
+        return uniq, acc[uniq]
 
     def _score_blocks(self, blocks: DataFrame) -> DataFrame:
         """blocks (term, df, blob, ...) → (doc_id, score)."""
