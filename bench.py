@@ -59,6 +59,8 @@ HEADLINE = [
     "dup_clusters",
     "curated_corpus",
     "simhash",
+    "simhash_near_dup",
+    "exclude_filter",
     "chunk_code",
     "media_features",
     "lang_id",

@@ -87,6 +87,8 @@ def main() -> None:
         "docs_per_sec": round(summary["docs"] / build_secs, 2),
         "pages_per_sec": round(args.pages / build_secs, 2),
         "parallelism": spark.sparkContext.defaultParallelism,
+        # per-stage breakdown of the LAST (JIT/page-cache warm) rep
+        "stage_secs": summary.get("stage_secs"),
     }
 
     if args.queries > 0:

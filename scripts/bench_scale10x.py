@@ -1,0 +1,246 @@
+"""Round-3 scale campaign (round-2 verdict item 1): prove the scale
+story with data at 10× the per-round bench scale.
+
+Four probes, one committed artifact (BENCH_SCALE10X.json at the repo
+root):
+
+1. catalog suite timings at sf0.1 (50k-docs tables) AND at a 10×
+   analog dir (scripts/make_scale_dir.py) → per-query growth factors
+   (10× data on the same 32 cores: ≤~10× time means no superlinear
+   plan, values well under 10× mean the fixed per-job overhead still
+   dominates at sf0.1);
+2. DuckDB oracle correctness re-check at 10× for every entry whose
+   oracle is itself scalable (the brute-force simhash_near_dup oracle
+   is O(n²) by design and is skipped — its Spark side is still timed);
+3. full index build at 2,000,000 pages (~2.23M chunk-docs), best-of-2,
+   at local[8] and local[32] (the N→4N pair at 10× corpus), with the
+   per-stage breakdown and cold/warm serving latencies;
+4. rank-identity at scale: the three independently-implemented query
+   paths (search_local full-decode — the reference's own flow —,
+   search_local block-max pruned, search_distributed) must return
+   identical (doc_id, score) lists on the 30-query suite over the 2M
+   index, plus an exact pure-Python (pyref) oracle comparison at 100k
+   pages.
+
+Usage: python scripts/bench_scale10x.py [--pages 2000000] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+SKIP_ORACLE_AT_10X = {
+    # brute-force-by-design oracle: O(n²) pairs, fine at sf0.01,
+    # deliberately not run at 50k docs (the Spark side IS timed).
+    "simhash_near_dup",
+}
+
+
+def _spark(master: str, mem: str = "16g"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(master)
+        .config("spark.driver.memory", mem)
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def probe_catalog(factor_dir: str, out: dict) -> None:
+    """Suite timings at sf0.1 and the 10× dir + oracle checks at 10×."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry_mod
+    from bench import HEADLINE
+
+    spark = _spark("local[32]")
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+
+    timings: dict[str, dict] = {}
+    for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("x10", factor_dir)):
+        for name in HEADLINE:
+            fn = qs[name]
+            # bench.py protocol: warm noop write, then timed noop write
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings.setdefault(name, {})[sf_label] = round(time.time() - t0, 2)
+    for name, t in timings.items():
+        if t.get("sf0.1"):
+            t["growth"] = round(t["x10"] / max(t["sf0.1"], 0.01), 1)
+    out["catalog_suite"] = timings
+    out["catalog_suite_total"] = {
+        "sf0.1": round(sum(t["sf0.1"] for t in timings.values()), 1),
+        "x10": round(sum(t["x10"] for t in timings.values()), 1),
+    }
+
+    # oracle correctness at 10×
+    import duckdb
+
+    con = duckdb.connect()
+    for t_ in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t_} AS SELECT * FROM '{factor_dir}/{t_}.parquet'"
+        )
+    oracle = {}
+    for name, sql in sqls.items():
+        if name in SKIP_ORACLE_AT_10X:
+            oracle[name] = "skipped (brute-force oracle, O(n^2) by design)"
+            continue
+        s = qs[name](spark, factor_dir).toPandas()
+        d = con.execute(sql).fetch_df()
+        s2 = s[sorted(s.columns)].sort_values(by=sorted(s.columns)).reset_index(drop=True)
+        d2 = d[sorted(d.columns)].sort_values(by=sorted(d.columns)).reset_index(drop=True)
+        ok_rows = len(s2) == len(d2)
+        ok_vals = ok_rows and all(
+            (s2[c].round(9).equals(d2[c].round(9)) if s2[c].dtype.kind == "f"
+             else s2[c].equals(d2[c]))
+            for c in s2.columns
+        )
+        oracle[name] = bool(ok_vals)
+    out["oracle_at_10x"] = oracle
+    spark.stop()
+
+
+def probe_build(pages: int, out: dict, workroot: Path) -> None:
+    """2M-page build at local[8] / local[32] via bench_build.py."""
+    zpath = workroot / "vexor_spark.zip"
+    subprocess.run(
+        ["zip", "-qr", str(zpath), "vexor_spark"], cwd=REPO, check=True
+    )
+    pages_dir = workroot / "pages"
+    results = {}
+    for master, tag, queries in (
+        ("local[8]", "n8", 0),
+        ("local[32]", "n32", 30),
+    ):
+        cmd = [
+            "spark-submit", "--master", master,
+            "--conf", "spark.sql.shuffle.partitions=64",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=24g",
+            "--py-files", str(zpath),
+            str(REPO / "scripts" / "bench_build.py"),
+            "--pages", str(pages),
+            "--workdir", str(workroot / tag),
+            "--pages-dir", str(pages_dir),
+            "--queries", str(queries),
+            "--repeats", "2",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
+        m = re.search(r"BENCH_BUILD (\{.*\})", proc.stdout)
+        if not m:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"build failed at {master}")
+        results[tag] = json.loads(m.group(1))
+    eff = results["n32"]["docs_per_sec"] / results["n8"]["docs_per_sec"] / 4.0
+    out["build_10x"] = {
+        "pages": pages,
+        "n8": results["n8"],
+        "n32": results["n32"],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+
+
+def probe_rank_identity(pages: int, out: dict, workroot: Path) -> None:
+    """Three-path identity at 2M docs + pyref oracle at 100k pages."""
+    spark = _spark("local[32]", "24g")
+    from vexor_spark.functions.rounding import round_half_up
+    from vexor_spark.index.storage import PersistedIndex
+    from vexor_spark.sources.corpus import query_suite
+
+    idx_dir = workroot / "n32" / "index"
+    pidx = PersistedIndex(spark, idx_dir)
+    suite = query_suite(min(pages, 100_000))[:30]
+    mismatches = []
+    for q in suite:
+        a = pidx.search_local(q["query"], k=10, prune=True)
+        b = pidx.search_local(q["query"], k=10, prune=False)
+        c = [
+            (r["rank"], r["doc_id"], round_half_up(r["score"], 6))
+            for r in pidx.search_distributed(q["query"], k=10).collect()
+        ]
+        al = [(r, d, round_half_up(s, 6)) for r, d, s in a]
+        bl = [(r, d, round_half_up(s, 6)) for r, d, s in b]
+        if not (al == bl == c):
+            mismatches.append(q["query"])
+    out["rank_identity_2M"] = {
+        "queries": len(suite),
+        "paths": ["local_pruned", "local_full_decode", "distributed_blockmax"],
+        "mismatches": mismatches,
+    }
+
+    # exact pure-Python oracle at 100k pages (pyref is the scalar
+    # reimplementation of the reference's BM25 flow)
+    from vexor_spark.index.storage import build_and_write_index
+    from vexor_spark.oracle import pyref
+    from vexor_spark.sources.corpus import generate_pages_df, page_record
+
+    n_oracle = 100_000
+    pdir = workroot / "pages_oracle"
+    generate_pages_df(spark, n_oracle, edges=False, partitions=32).write.mode(
+        "overwrite"
+    ).parquet(str(pdir))
+    odir = workroot / "idx_oracle"
+    build_and_write_index(spark.read.parquet(str(pdir)), odir, term_buckets=64)
+    pidx2 = PersistedIndex(spark, odir)
+    recs = [page_record(i, edges=False) for i in range(n_oracle)]
+    oracle = pyref.build_corpus_index([(r["url"], r["html"] or r["text"].encode()) for r in recs])
+    osuite = query_suite(n_oracle)[:30]
+    bad = []
+    for q in osuite:
+        want = pyref.search(oracle, q["query"], k=10)
+        got = pidx2.search_local(q["query"], k=10)
+        if [(d, round_half_up(s, 6)) for _, d, s in got] != [
+            (d, round_half_up(s, 6)) for d, s in want
+        ]:
+            bad.append(q["query"])
+    out["pyref_rank_identity_100k"] = {"queries": len(osuite), "mismatches": bad}
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=2_000_000)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--workroot", default=None)
+    ap.add_argument("--skip-catalog", action="store_true")
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--skip-identity", action="store_true")
+    args = ap.parse_args()
+    workroot = Path(args.workroot or tempfile.mkdtemp(prefix="scale10x_"))
+    workroot.mkdir(parents=True, exist_ok=True)
+
+    factor_dir = str(workroot / f"sf_x{args.factor}")
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "make_scale_dir.py"),
+         "--out", factor_dir, "--factor", str(args.factor)],
+        check=True,
+    )
+
+    out: dict = {"pages": args.pages, "factor": args.factor}
+    t0 = time.time()
+    if not args.skip_catalog:
+        probe_catalog(factor_dir, out)
+    if not args.skip_build:
+        probe_build(args.pages, out, workroot)
+    if not args.skip_identity:
+        probe_rank_identity(args.pages, out, workroot)
+    out["campaign_secs"] = round(time.time() - t0, 1)
+    (REPO / "BENCH_SCALE10X.json").write_text(json.dumps(out, indent=2) + "\n")
+    print("SCALE10X " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

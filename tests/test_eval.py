@@ -39,3 +39,23 @@ def test_eval_metrics(spark):
         assert hits == len(uid_queries)
     index.docs.unpersist()
     index.postings.unpersist()
+
+
+def test_eval_arm_floors(spark):
+    """Round-3 quality floors on the committed suite (EVAL.md documents
+    the full-scale run): fusing the full-corpus BM25 leg must not lose
+    to the dense-candidate rerank arm, and the engine's primary arm
+    (bm25_full — full-corpus BM25 over the inverted index) must resolve
+    every scored query at rank 1 (each carries its page's unique id)."""
+    from vexor_spark.eval import ALL_ARMS, evaluate
+
+    pages = generate_pages_df(spark, N_PAGES, edges=True, partitions=4)
+    index = build_index(pages, salt_partitions=2, term_buckets=8)
+    queries = query_suite(N_PAGES)[:12]
+    metrics = evaluate(index, queries, arms=ALL_ARMS)
+
+    assert metrics["hybrid"]["mrr@10"] >= metrics["bm25"]["mrr@10"]
+    assert metrics["bm25_full"]["mrr@10"] == 1.0
+    assert metrics["bm25_full"]["hit@1"] == 1.0
+    index.docs.unpersist()
+    index.postings.unpersist()

@@ -16,9 +16,18 @@ from vexor_spark.index.build import InMemoryIndex
 from vexor_spark.retrieval import dense_scores, hybrid_search, weighted_rerank_search
 
 ARMS = ("off", "bm25", "hybrid")
+# The reference's three arms all lean on the dense leg (DummyBackend
+# letter counts in its tests; an embedding service in production).
+# `bm25_full` is this engine's primary path — full-corpus BM25 over
+# the inverted index — included so the eval shows what the index
+# itself delivers when the dense leg degrades with corpus size.
+ALL_ARMS = ARMS + ("bm25_full",)
 
 
 def _ranked_urls(index: InMemoryIndex, arm: str, query: str, top: int) -> list[str]:
+    if arm == "bm25_full":
+        rows = index.search(query, k=top).orderBy("rank").select("url").collect()
+        return [r["url"] for r in rows]
     if arm == "off":
         from vexor_spark.plans.topk import take_ranked
 

@@ -269,6 +269,11 @@ def build_and_write_index(
     avgdl = float(row["avg_doc_len"]) if row["avg_doc_len"] else 0.0
     for df_ in intermediates:  # chunk/id caches no longer needed
         df_.unpersist()
+    # stage fences = the pipeline's real action boundaries (no extra
+    # jobs): extract→chunk→ids→tokenize/doc_len lands with the stats
+    # collect; tf→bucket sort→block encode→postings parquet with the
+    # postings write; dict/docs/stats writes close it out.
+    t_chunk = time.time()
 
     from vexor_spark.operators.postings import tf_from_doc_table
 
@@ -278,6 +283,7 @@ def build_and_write_index(
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
         str(index_dir / "postings")
     )
+    t_postings = time.time()
     dictionary = blocks.groupBy("term", "term_bucket").agg(
         F.first("df").alias("df"), F.max("block_ub").alias("max_kernel")
     ).select("term", "term_bucket", "df", "max_kernel")
@@ -290,6 +296,12 @@ def build_and_write_index(
         [(doc_count, avgdl)], "doc_count long, avg_doc_len double"
     ).write.mode("overwrite").parquet(str(index_dir / "stats"))
     doc_table.unpersist()
+    t_meta = time.time()
+    stage_secs = {
+        "extract_chunk_ids_doclen": round(t_chunk - t0, 3),
+        "tf_encode_write_postings": round(t_postings - t_chunk, 3),
+        "dict_docs_stats_write": round(t_meta - t_postings, 3),
+    }
     meta = {
         "format_version": FORMAT_VERSION,
         "term_buckets": term_buckets,
@@ -299,7 +311,12 @@ def build_and_write_index(
         "ub_avg_doc_len": avgdl,  # kernel-encode basis (merge.py)
     }
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=2))
-    return {"docs": doc_count, "avg_doc_len": avgdl, "secs": round(time.time() - t0, 3)}
+    return {
+        "docs": doc_count,
+        "avg_doc_len": avgdl,
+        "secs": round(time.time() - t0, 3),
+        "stage_secs": stage_secs,
+    }
 
 
 class PersistedIndex:
