@@ -261,3 +261,70 @@ def test_search_with_exclude_patterns(spark):
     finally:
         idx.docs.unpersist()
         idx.postings.unpersist()
+
+
+SCOPE_CASES = [
+    ("", ""), ("", "sub"),
+    ("# comment", "sub"), (r"\#literal", "sub"),
+    ("*.log", ""), ("*.log", "sub"), ("*.log", "a/b"),
+    ("/anchored.txt", "sub"), ("/", "sub"), ("/dir/", "sub"),
+    ("build/", "sub"), ("deep/path.txt", "sub"),
+    ("!keep.txt", "sub"), ("!/keep.txt", "sub"), (r"\!bang", "sub"),
+    ("dir/", "a/b"), ("name", "a/b"), ("a/**/b", "x"),
+]
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout absent")
+def test_scope_line_matches_reference():
+    from vexor_spark.functions.ignore import scope_ignore_line
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from vexor.utils import _scope_gitignore_line
+
+        for line, base in SCOPE_CASES:
+            assert scope_ignore_line(line, base) == _scope_gitignore_line(line, base), (
+                line, base,
+            )
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+
+def test_union_specs_matches_git_nested_gitignores(tmp_path):
+    """Nested .gitignore files scoped+unioned into one root spec must
+    agree with git itself evaluating the same nested files."""
+    from vexor_spark.functions.ignore import union_ignore_specs
+
+    repo = tmp_path / "repo"
+    (repo / "sub" / "deep").mkdir(parents=True)
+    (repo / "other").mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True, capture_output=True)
+    root_lines = ["*.log", "build/", "!important.log"]
+    sub_lines = ["*.tmp", "/anchored.md", "cache/", "!keep.tmp"]
+    deep_lines = ["secret*"]
+    (repo / ".gitignore").write_text("\n".join(root_lines) + "\n")
+    (repo / "sub" / ".gitignore").write_text("\n".join(sub_lines) + "\n")
+    (repo / "sub" / "deep" / ".gitignore").write_text("\n".join(deep_lines) + "\n")
+
+    paths = [
+        "a.log", "important.log", "sub/x.log", "sub/important.log",
+        "build/o.txt", "sub/build/o.txt",
+        "x.tmp", "sub/x.tmp", "sub/deep/y.tmp", "sub/keep.tmp",
+        "anchored.md", "sub/anchored.md", "sub/deep/anchored.md",
+        "cache/f", "sub/cache/f", "sub/deep/cache/f",
+        "secret1", "sub/secret1", "sub/deep/secret1", "sub/deep/z/secret2",
+        "other/a.txt",
+    ]
+    proc = subprocess.run(
+        ["git", "-c", "core.excludesFile=/dev/null", "check-ignore",
+         "--stdin", "-z", "--no-index"],
+        cwd=repo, input="\0".join(paths).encode(), capture_output=True,
+    )
+    assert proc.returncode in (0, 1), proc.stderr.decode()
+    want = {p for p in proc.stdout.decode().split("\0") if p}
+
+    spec = union_ignore_specs(
+        [(root_lines, ""), (sub_lines, "sub"), (deep_lines, "sub/deep")]
+    )
+    got = {p for p in paths if spec.excluded(p)}
+    assert got == want, f"only_ours={got - want} only_git={want - got}"

@@ -215,6 +215,54 @@ def compile_patterns(lines: Iterable[str]) -> list[CompiledPattern]:
     return [p for p in (compile_pattern(ln) for ln in lines) if p is not None]
 
 
+def scope_ignore_line(line: str, base_dir: str) -> str | None:
+    """Scope one .gitignore line found in `base_dir` (repo-relative, ''
+    for the root) so it can join a single root-level spec — the
+    reference's `_scope_gitignore_line` semantics (vexor/utils.py:
+    146-171, parity-tested by importing it): comments/blanks drop;
+    anchored lines prefix the base dir; floating lines (no inner '/')
+    keep matching at any depth below the base via `base/**/`; negation
+    survives in front."""
+    if line == "":
+        return None
+    if line.startswith("#") and not line.startswith(r"\#"):
+        return None
+    if not base_dir:
+        return line
+
+    negated = line.startswith("!") and not line.startswith(r"\!")
+    prefix = "!" if negated else ""
+    body = line[1:] if negated else line
+
+    anchored = body.startswith("/") and not body.startswith(r"\/")
+    if anchored:
+        body = body[1:]
+        scoped = f"{base_dir}/{body}" if body else f"{base_dir}/"
+        return f"{prefix}{scoped}"
+
+    directory_only = body.endswith("/") and not body.endswith(r"\/")
+    body_check = body[:-1] if directory_only else body
+    if "/" in body_check:
+        scoped = f"{base_dir}/{body}"
+    else:
+        scoped = f"{base_dir}/**/{body}"
+    return f"{prefix}{scoped}"
+
+
+def union_ignore_specs(specs_lines: Iterable[tuple[Iterable[str], str]]) -> "ExcludeSpec":
+    """One ExcludeSpec from many (lines, base_dir) ignore files — the
+    reference's spec `+=` union (vexor/utils.py:192-234): scope each
+    file's lines to where the file lives, concatenate in walk order
+    (later files override earlier ones under last-match-wins)."""
+    combined: list[str] = []
+    for lines, base_dir in specs_lines:
+        for ln in lines:
+            scoped = scope_ignore_line(ln, base_dir)
+            if scoped is not None:
+                combined.append(scoped)
+    return ExcludeSpec(combined)
+
+
 class ExcludeSpec:
     """Compiled exclude-pattern list with the git walk model.
 
