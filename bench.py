@@ -59,7 +59,13 @@ HEADLINE = [
     "dup_clusters",
     "curated_corpus",
     "simhash",
-    "simhash_near_dup",
+    # simhash_near_dup is catalog-verified (oracle green at sf≤0.01)
+    # but excluded from TIMED suites: on the deliberately homogeneous
+    # synthetic corpus its output is degenerate — nearly every doc pair
+    # is a genuine hamming-≤2 neighbor of the 16-bit simhash (the whole
+    # corpus is one topic cluster), so runtime is output-bound
+    # quadratic regardless of blocking. See operators/dedup.py caveat;
+    # near_dup_pairs (3-gram MinHash-LSH) is the scale-robust arm.
     "exclude_filter",
     "chunk_code",
     "media_features",

@@ -40,7 +40,11 @@ REPO = Path(__file__).resolve().parent.parent
 
 SKIP_ORACLE_AT_10X = {
     # brute-force-by-design oracle: O(n²) pairs, fine at sf0.01,
-    # deliberately not run at 50k docs (the Spark side IS timed).
+    # deliberately not run at 50k docs. The Spark side is also
+    # output-degenerate on this corpus (see bench.py HEADLINE note):
+    # the homogeneous word-soup makes nearly every pair a true
+    # hamming-≤2 neighbor, so the timed suite (HEADLINE) excludes it
+    # as well — measured once at sf0.1 via the sf0.1 leg only.
     "simhash_near_dup",
 }
 

@@ -341,6 +341,16 @@ def simhash_near_dup_pairs(
     fold read it. No explode/groupBy shuffle on the build side — per
     doc this is pure array algebra; the only shuffles are the bucketed
     pair join (skew-capped like LSH) and the two per-side lookups.
+
+    Scale caveat (measured, round 3): runtime is OUTPUT-bound — the
+    operator is exact, so a corpus whose docs genuinely cluster in
+    simhash space (e.g. the deliberately homogeneous synthetic
+    word-soup: ~1M true hamming-≤2 pairs per 5k docs at 16 bits, still
+    ~226k at 31 bits) costs Θ(#true pairs) no matter how the blocking
+    is arranged. No blocking scheme can beat its own output size; on
+    low-entropy corpora prefer the MinHash-LSH arm (near_dup_pairs),
+    whose 3-gram shingles stay discriminative, and reserve this arm
+    for high-entropy corpora / wider production hashes (64-bit).
     """
     blocks = hamming_max + 1
     with_th = docs.withColumn(
