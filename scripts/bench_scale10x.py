@@ -107,12 +107,16 @@ def probe_catalog(factor_dir: str, out: dict) -> None:
         s2 = s[sorted(s.columns)].sort_values(by=sorted(s.columns)).reset_index(drop=True)
         d2 = d[sorted(d.columns)].sort_values(by=sorted(d.columns)).reset_index(drop=True)
         ok_rows = len(s2) == len(d2)
-        ok_vals = ok_rows and all(
-            (s2[c].round(9).equals(d2[c].round(9)) if s2[c].dtype.kind == "f"
-             else s2[c].equals(d2[c]))
-            for c in s2.columns
-        )
-        oracle[name] = bool(ok_vals)
+
+        def col_eq(c):
+            # value comparison, not dtype comparison: toPandas gives
+            # datetime64[ns] where DuckDB gives [us]; Series.equals is
+            # dtype-strict and reports false on equal timestamps.
+            if s2[c].dtype.kind == "f":
+                return bool(((s2[c] - d2[c]).abs() <= 1e-9).all())
+            return bool((s2[c].astype("object") == d2[c].astype("object")).all())
+
+        oracle[name] = bool(ok_rows and all(col_eq(c) for c in s2.columns))
     out["oracle_at_10x"] = oracle
     spark.stop()
 
@@ -233,7 +237,11 @@ def main() -> None:
         check=True,
     )
 
-    out: dict = {"pages": args.pages, "factor": args.factor}
+    # merge-on-rerun: a partial pass (e.g. --skip-build) updates the
+    # committed artifact's sections instead of wiping the others
+    artifact = REPO / "BENCH_SCALE10X.json"
+    out: dict = json.loads(artifact.read_text()) if artifact.exists() else {}
+    out.update({"pages": args.pages, "factor": args.factor})
     t0 = time.time()
     if not args.skip_catalog:
         probe_catalog(factor_dir, out)

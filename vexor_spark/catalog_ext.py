@@ -333,7 +333,20 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes the ~|matched docs| scored rows once instead of
     # re-running tokenize+score per reference.
     bm25 = _bm25_scores_docs(spark, sf_dir, FLAGSHIP_QUERY).localCheckpoint(eager=True)
-    return rrf_topk(dense_scored, bm25, 10, round_dp=RND)
+    from vexor_spark.operators.fusion import rrf_fused_candidates
+    from vexor_spark.plans.topk import take_ranked
+
+    # Deterministic 6-dp rounding as EXPLICIT shared float arithmetic:
+    # fused is rational in the integer leg ranks, so both engines
+    # produce the same double; engine-native round() implementations
+    # can still split an exact 5e-7 tie (observed once at 10× scale) —
+    # floor(x·1e6 + 0.5)/1e6 is the identical IEEE op sequence on both.
+    fused = rrf_fused_candidates(dense_scored, bm25, 10)
+    fused = fused.withColumn(
+        "fused", F.floor(F.col("fused") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
+    ranked = take_ranked(fused, [F.desc("fused"), F.asc("doc_id")], 10)
+    return ranked.select("rank", "doc_id", "fused")
 
 
 def _sql_rrf_hybrid() -> str:
@@ -374,9 +387,15 @@ dense_ranked AS (
   SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS dense_rank FROM dense
 ),
 fused AS (
+  -- floor(x*1e6+0.5)/1e6 over ::DOUBLE literals: the same IEEE op
+  -- sequence the Spark side uses. DuckDB parses bare 0.7*61.0 as
+  -- exact DECIMAL (42.70) where Spark's doubles give 42.699999999…96
+  -- — at 10× scale a dense-rank-4 doc landed exactly on that 5e-7
+  -- gap, so both the literals and the rounding must be pinned.
   SELECT coalesce(d.doc_id, b.doc_id) AS doc_id,
-         round(coalesce(0.7 * 61.0 / (60.0 + d.dense_rank), 0.0)
-             + coalesce(0.3 * 61.0 / (60.0 + b.bm25_rank), 0.0), {RND}) AS fused
+         floor((coalesce(0.7::DOUBLE * 61.0::DOUBLE / (60.0::DOUBLE + d.dense_rank), 0.0)
+              + coalesce(0.3::DOUBLE * 61.0::DOUBLE / (60.0::DOUBLE + b.bm25_rank), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS fused
   FROM dense_ranked d FULL OUTER JOIN bm25_ranked b USING (doc_id)
 )
 SELECT row_number() OVER (ORDER BY fused DESC, doc_id ASC)::BIGINT AS rank,
