@@ -152,6 +152,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # one-off 10× campaign (2M-page build, suite growth factors,
+        # oracle re-check at 10×, rank identity at 2.23M docs):
+        # committed separately, regenerate via scripts/bench_scale10x.py
+        "scale10x_artifact": "BENCH_SCALE10X.json",
     }
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":

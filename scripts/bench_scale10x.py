@@ -113,7 +113,8 @@ def probe_catalog(factor_dir: str, out: dict) -> None:
             # datetime64[ns] where DuckDB gives [us]; Series.equals is
             # dtype-strict and reports false on equal timestamps.
             if s2[c].dtype.kind == "f":
-                return bool(((s2[c] - d2[c]).abs() <= 1e-9).all())
+                both_nan = s2[c].isna() & d2[c].isna()
+                return bool((((s2[c] - d2[c]).abs() <= 1e-9) | both_nan).all())
             return bool((s2[c].astype("object") == d2[c].astype("object")).all())
 
         oracle[name] = bool(ok_rows and all(col_eq(c) for c in s2.columns))
