@@ -204,3 +204,24 @@ def test_dup_clusters_giant_components_round_bound(spark):
     got2 = dup_clusters(clique_nodes, clique_edges, max_iters=10, metrics=m2)
     assert got2.filter(F.col("cluster_rep") != 50).count() == 0
     assert m2["rounds"] <= 3, m2
+
+
+def test_simhash_table_equals_fold(spark):
+    """The codegen bulk path (explode + two-phase agg) must equal the
+    per-row fold bit-for-bit, including empty and single-token docs."""
+    from vexor_spark.operators.dedup import simhash_col, simhash_table
+
+    rows = [
+        (0, ["alpha", "beta", "gamma", "alpha"]),
+        (1, []),
+        (2, ["solo"]),
+        (3, ["x" * 40, "y", "zz", "x" * 40]),
+        (4, ["common"] * 30 + ["rare"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    fold = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_col(F.col("tokens")).alias("s")).collect()
+    }
+    bulk = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    assert bulk == fold

