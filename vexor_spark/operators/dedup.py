@@ -473,7 +473,7 @@ def dup_clusters(
         F_.col(id_col).alias("node"), F_.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     rounds = 0
-    for _ in range(max_iters):
+    for it in range(max_iters):
         rounds += 1
         nbr = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -486,28 +486,30 @@ def dup_clusters(
                 F_.col("label"), F_.coalesce("nbr_label", F_.col("label"))
             ).alias("label"),
         )
-        # pointer jump: label ← label(label). Every label is a node id
-        # (init self; mins of node ids), so the lookup always resolves;
-        # the left join + coalesce is belt-and-braces for filtered docs.
-        jump = propagated.select(
-            F_.col("node").alias("label"), F_.col("label").alias("label2")
-        )
-        new_labels = (
-            propagated.join(jump, "label", "left")
-            .select(
+        if it >= 1:
+            # pointer jump: label ← label(label). Every label is a node
+            # id (init self; mins of node ids), so the lookup always
+            # resolves; the left join + coalesce is belt-and-braces for
+            # filtered docs. Skipped in round 1: LSH near-cliques
+            # converge in 1-2 plain rounds, so the extra join would be
+            # pure job overhead there, while chains still get the
+            # geometric deficit growth from round 2 on.
+            jump = propagated.select(
+                F_.col("node").alias("label"), F_.col("label").alias("label2")
+            )
+            propagated = propagated.join(jump, "label", "left").select(
                 "node",
                 F_.coalesce("label2", F_.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
+        new_labels = propagated.localCheckpoint(eager=True)
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F_.col("n.label") != F_.col("o.label"))
-            .count()
+            .isEmpty()  # LIMIT-1 probe, cheaper than a full count
         )
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     if metrics is not None:
         metrics["rounds"] = rounds
