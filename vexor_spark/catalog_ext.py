@@ -278,6 +278,104 @@ SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank, vec_id
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with REAL centroids: two deterministic Lloyd k-means
+    iterations (seeded init, argmax-cosine assignment, per-cell means
+    floor-rounded to 6 dp, empty cells keep their previous centroid),
+    then the standard 2-probe cell search. The DuckDB oracle replays
+    the identical two iterations in SQL — k-means with fixed iteration
+    count IS SQL-expressible, so this iterative operator still gets the
+    full value-hash gate."""
+    emb = embeddings_table(spark, sf_dir)
+    cents = sim.ivf_kmeans_centroids(emb, EMB_DIM, iters=2)
+    return sim.ivf_topk(
+        emb, _qvec(spark, sf_dir), 10, centroids=cents, n_probe=2, round_dp=RND
+    )
+
+
+def _sql_ivf_kmeans() -> str:
+    n_cells = sim.IVF_CELLS
+    cents0 = sim.ivf_centroids(EMB_DIM)
+
+    def cos_expr(vec: str, cj: str) -> str:
+        return (
+            f"(CASE WHEN {SQL_NORM.format(a=vec)} > 0"
+            f" THEN {SQL_DOT.format(a=vec, b=cj)}"
+            f" / ({SQL_NORM.format(a=vec)} * {SQL_NORM.format(a=cj)})"
+            f" ELSE 0.0 END)"
+        )
+
+    def assign_cte(name: str, ct: str) -> str:
+        cos_defs = ",\n         ".join(
+            f"{cos_expr('e.embedding', f'{ct}.c{j}')} AS cc{j}"
+            for j in range(n_cells)
+        )
+        best = "greatest(" + ", ".join(f"cc{j}" for j in range(n_cells)) + ")"
+        cell_case = " ".join(f"WHEN cc{j} = best THEN {j}" for j in range(n_cells))
+        return f"""{name} AS (
+  SELECT vec_id, embedding, CASE {cell_case} ELSE 0 END AS cell
+  FROM (SELECT *, {best} AS best FROM (
+    SELECT e.vec_id, e.embedding,
+         {cos_defs}
+    FROM embeddings e CROSS JOIN {ct}
+  ))
+)"""
+
+    def recenter_cte(name: str, assigned: str, prev: str) -> str:
+        # per-cell elementwise mean, floor-rounded; empty cell keeps
+        # the previous centroid (any_value over the single prev row)
+        cols = []
+        for j in range(n_cells):
+            dims = ", ".join(
+                f"floor(avg(CASE WHEN a.cell = {j} THEN a.embedding[{i + 1}] END)"
+                f" * 1000000.0 + 0.5) / 1000000.0"
+                for i in range(EMB_DIM)
+            )
+            cols.append(
+                f"CASE WHEN count(CASE WHEN a.cell = {j} THEN 1 END) > 0"
+                f" THEN [{dims}]::DOUBLE[]"
+                f" ELSE any_value({prev}.c{j}) END AS c{j}"
+            )
+        return f"{name} AS (\n  SELECT " + ",\n  ".join(cols) + f"\n  FROM {assigned} a CROSS JOIN {prev}\n)"
+
+    cent_cols0 = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + f"]::DOUBLE[] AS c{j}"
+        for j, c in enumerate(cents0)
+    )
+    qcells_cos = " ".join(
+        f"WHEN {j} THEN " + cos_expr("q.qv", f"ct2.c{j}") for j in range(n_cells)
+    )
+    return f"""WITH ct0 AS (SELECT {cent_cols0}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+{assign_cte('a1', 'ct0')},
+{recenter_cte('ct1', 'a1', 'ct0')},
+{assign_cte('a2', 'ct1')},
+{recenter_cte('ct2', 'a2', 'ct1')},
+{assign_cte('a3', 'ct2')},
+qcells AS (
+  SELECT cell, row_number() OVER (ORDER BY qcos DESC, cell ASC) AS r
+  FROM (
+    SELECT j AS cell,
+           CASE j {qcells_cos} END AS qcos
+    FROM q CROSS JOIN ct2 CROSS JOIN (SELECT unnest(generate_series(0, {n_cells - 1})) AS j)
+  )
+),
+cand AS (
+  SELECT w.vec_id, w.embedding FROM a3 w
+  WHERE w.cell IN (SELECT cell FROM qcells WHERE r <= 2)
+),
+scored AS (
+  SELECT c.vec_id::BIGINT AS vec_id,
+         CASE WHEN {SQL_NORM.format(a='c.embedding')} > 0
+              THEN round({SQL_DOT.format(a='c.embedding', b='q.qv')}
+                   / ({SQL_NORM.format(a='c.embedding')} * {SQL_NORM.format(a='q.qv')}), {RND})
+              ELSE 0.0 END AS cos
+  FROM cand c CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank, vec_id, cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 # --- RRF hybrid over documents + embeddings ---------------------------------
 
 
@@ -1504,6 +1602,7 @@ EXT_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "emb_near_dup": q_emb_near_dup,
     "rrf_hybrid": q_rrf_hybrid,
     "weighted_rerank": q_weighted_rerank,
@@ -1533,6 +1632,7 @@ EXT_ORACLE_SQL = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh(),
     "ivf_ann_topk": _sql_ivf_ann(),
+    "ivf_kmeans_topk": _sql_ivf_kmeans(),
     "emb_near_dup": _sql_emb_near_dup(),
     "rrf_hybrid": _sql_rrf_hybrid(),
     "weighted_rerank": _sql_weighted_rerank(),

@@ -28,7 +28,15 @@ def hyperplanes(dim: int, n_planes: int = ANN_PLANES, seed: int = ANN_SEED) -> l
 
 
 def dot_col(vec: Column, weights: list[float]) -> Column:
-    """Sequential dot product of an array column with a literal vector."""
+    """Sequential dot product of an array column with a literal vector.
+
+    Deliberately the compact `F.aggregate` fold, NOT a 64-term unrolled
+    sum: unrolling is IEEE-equivalent and codegen-eligible, but with 8
+    centroids/planes per row janino gets multi-thousand-term methods
+    and fails (InternalCompilerException; plan/compile memory blows up
+    long before runtime wins). Measured: fold-based similarity entries
+    are ~1 s full-scan at 500k vectors — the fold is not the
+    bottleneck, and it is what the DuckDB list_reduce oracle mirrors."""
     arr = F.array(*[F.lit(w) for w in weights])
     return F.aggregate(
         F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
@@ -37,7 +45,9 @@ def dot_col(vec: Column, weights: list[float]) -> Column:
     )
 
 
-def norm_col(vec: Column) -> Column:
+def norm_col(vec: Column, dim: int | None = None) -> Column:
+    """Euclidean norm as the sequential fold (`dim` accepted for API
+    symmetry; see dot_col for why this stays a fold)."""
     return F.sqrt(
         F.aggregate(
             F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
@@ -94,8 +104,9 @@ def bucket_of(query: list[float], planes: list[list[float]]) -> int:
     return b
 
 
-def cosine_pair_col(a: Column, b: Column) -> Column:
-    """cosine between two array columns (sequential sums)."""
+def cosine_pair_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """cosine between two array columns (sequential sums; see dot_col
+    for why these stay folds)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -136,7 +147,9 @@ def embedding_near_dup_pairs(
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_pair_col(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", cosine_pair_col(F.col("va"), F.col("vb"), dim=len(planes[0]))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -155,8 +168,60 @@ def ivf_centroids(dim: int, n_cells: int = IVF_CELLS, seed: int = IVF_SEED) -> l
     return [[float(x) for x in rng.randn(dim)] for _ in range(n_cells)]
 
 
+def round6_det(x: float) -> float:
+    """floor(x·1e6 + 0.5)/1e6 — the shared IEEE rounding sequence used
+    wherever both engines must agree on a 6-dp value (engine-native
+    round() implementations split exact ties differently)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def ivf_kmeans_centroids(
+    emb: DataFrame,
+    dim: int,
+    *,
+    n_cells: int = IVF_CELLS,
+    iters: int = 2,
+    seed: int = IVF_SEED,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for IVF cells: seeded gaussian init,
+    a FIXED number of iterations, argmax-cosine assignment (ties to the
+    lowest cell), per-cell elementwise mean re-centering with empty
+    cells keeping their previous centroid, and centroids floor-rounded
+    to 6 dp after each iteration so the whole trajectory is
+    reproducible bit-for-bit across engines (the DuckDB oracle replays
+    the identical two iterations in SQL).
+
+    Distributed shape: each iteration is one corpus scan + a groupBy
+    over ≤ n_cells groups with `dim` avg aggregates (whole-stage
+    codegen, map-side partials) and a ≤ n_cells-row collect — the
+    classic scalable k-means step; iterations are fixed, not
+    convergence-driven, by design (determinism and bounded cost)."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    for _ in range(iters):
+        assigned = with_ivf_cell(emb, cents, vec_col=vec_col)
+        aggs = [
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("_cell").agg(*aggs).collect()
+        means = {
+            int(r["_cell"]): [round6_det(float(r[f"m{i}"])) for i in range(dim)]
+            for r in rows
+        }
+        cents = [means.get(j, cents[j]) for j in range(n_cells)]
+    return cents
+
+
 def ivf_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmax-cosine cell id; ties break to the lowest cell index."""
+    """argmax-cosine cell id; ties break to the lowest cell index.
+
+    NOTE: each cosine subtree appears ~3× here (greatest + two CASE
+    arms); with the codegen-unrolled dot/norm that re-expansion
+    inflates plans badly — use `with_ivf_cell` (projection-barrier
+    form) for DataFrame-level assignment."""
     cos_cols = [cosine_lit_col(vec, c) for c in centroids]
     best = F.greatest(*cos_cols)
     expr = None
@@ -164,6 +229,32 @@ def ivf_cell_col(vec: Column, centroids: list[list[float]]) -> Column:
         cond = c == best
         expr = F.when(cond, F.lit(j)) if expr is None else expr.when(cond, F.lit(j))
     return expr.otherwise(F.lit(0)).cast("int")
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """df + `_cell` (argmax-cosine centroid, ties to lowest index) with
+    the per-centroid cosines materialized in their own projection, so
+    each 64-term unrolled cosine is evaluated ONCE per row and the
+    argmax CASE chain references cheap column attributes (CollapseProject
+    refuses to inline a non-cheap alias used more than once — the same
+    barrier trick as the token-hash arrays in dedup)."""
+    n = len(centroids)
+    with_cos = df.select(
+        "*",
+        *[
+            cosine_lit_col(F.col(vec_col), c).alias(f"_cc{j}")
+            for j, c in enumerate(centroids)
+        ],
+    )
+    best = F.greatest(*[F.col(f"_cc{j}") for j in range(n)])
+    expr = None
+    for j in range(n):
+        cond = F.col(f"_cc{j}") == best
+        expr = F.when(cond, F.lit(j)) if expr is None else expr.when(cond, F.lit(j))
+    cell = expr.otherwise(F.lit(0)).cast("int")
+    return with_cos.withColumn("_cell", cell).drop(*[f"_cc{j}" for j in range(n)])
 
 
 def ivf_query_cells(query: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
@@ -197,7 +288,7 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(len(query))
     cells = ivf_query_cells(query, centroids, n_probe)
-    assigned = emb.withColumn("_cell", ivf_cell_col(F.col(vec_col), centroids))
+    assigned = with_ivf_cell(emb, centroids, vec_col=vec_col)
     candidates = assigned.filter(F.col("_cell").isin([int(c) for c in cells]))
     return cosine_topk(candidates, query, k, id_col=id_col, vec_col=vec_col, round_dp=round_dp)
 
