@@ -93,6 +93,12 @@ PATTERN_SETS = [
     ["two**stars"],
     ["dir/file with space.txt"],
     ["*.log", "!debug.log", "trace*.log"],
+    # single-segment '<dir>/**': the inner slash anchors to the spec
+    # root even after the '/**' tail is stripped (git parity — a
+    # nested 'x/docs/a.md' must NOT match 'docs/**')
+    ["node_modules/**"],
+    ["build/**", "docs/**"],
+    ["src/**"],
 ]
 
 PATHS = [
@@ -146,6 +152,12 @@ PATHS = [
     "twoXYstars",
     "two/stars",
     "dir/file with space.txt",
+    # nested occurrences of dirs named by single-segment '/**' patterns
+    "x/docs/a.md",
+    "q/build/o",
+    "x/node_modules/y.js",
+    "x/src/a.ts",
+    "x/y/src/deep/b.ts",
 ]
 
 

@@ -775,9 +775,15 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-    (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
-    / (len(a.hs) + len(b.hs)
-       - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
+    -- empty-union guard mirrors the Spark side's jaccard_col (0.0,
+    -- never NULL/div-by-zero): two docs with < shingle_n tokens have
+    -- empty shingle sets yet can still reach this stage via simhash 0.
+    CASE WHEN len(a.hs) + len(b.hs)
+              - len(list_filter(a.hs, x -> list_contains(b.hs, x))) > 0
+         THEN (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
+              / (len(a.hs) + len(b.hs)
+                 - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
+         ELSE 0.0 END
     AS jaccard
   FROM cand c JOIN shh a ON c.doc_a = a.doc_id JOIN shh b ON c.doc_b = b.doc_id
 )
@@ -860,9 +866,15 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b, c.hamming,
-    (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
-    / (len(a.hs) + len(b.hs)
-       - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
+    -- empty-union guard mirrors the Spark side's jaccard_col (0.0,
+    -- never NULL/div-by-zero): two docs with < shingle_n tokens have
+    -- empty shingle sets yet can still reach this stage via simhash 0.
+    CASE WHEN len(a.hs) + len(b.hs)
+              - len(list_filter(a.hs, x -> list_contains(b.hs, x))) > 0
+         THEN (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
+              / (len(a.hs) + len(b.hs)
+                 - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
+         ELSE 0.0 END
     AS jaccard
   FROM cand c JOIN shh a ON c.doc_a = a.doc_id JOIN shh b ON c.doc_b = b.doc_id
 )

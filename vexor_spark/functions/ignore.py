@@ -193,14 +193,18 @@ def compile_pattern(line: str) -> CompiledPattern | None:
         stripped = stripped[:-1]
     if not stripped:
         return None
-    # '/**' tail: dir contents, not the dir itself
+    # '/**' tail: dir contents, not the dir itself. Anchoring must be
+    # decided BEFORE the suffix is stripped: 'docs/**' contains an
+    # inner slash, so per gitignore(5) it anchors to the spec root
+    # ('x/docs/a.md' must NOT match), even though the remainder
+    # ('docs') has no slash left.
+    anchored = "/" in stripped
     contents_only = False
     if stripped.endswith("/**"):
         contents_only = True
         stripped = stripped[:-3]
         if not stripped:
             return None
-    anchored = "/" in stripped
     if stripped.startswith("/"):
         stripped = stripped.lstrip("/")
         if not stripped:

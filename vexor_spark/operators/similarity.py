@@ -198,7 +198,19 @@ def ivf_kmeans_centroids(
     over ≤ n_cells groups with `dim` avg aggregates (whole-stage
     codegen, map-side partials) and a ≤ n_cells-row collect — the
     classic scalable k-means step; iterations are fixed, not
-    convergence-driven, by design (determinism and bounded cost)."""
+    convergence-driven, by design (determinism and bounded cost).
+
+    Residual tie risk (documented, accepted): F.avg sums doubles in
+    partition order, so a per-cell mean that lands within 1 ulp of an
+    exact 0.5e-6 boundary could floor-round differently across
+    partitionings/engines; the 6-dp floor round makes this a measure-
+    zero event on real inputs but does not eliminate it. A fully
+    order-independent variant would sort-by-id per cell or accumulate
+    in fixed point; not worth the extra shuffle for an ANN coarse
+    quantizer whose cells only need to be *consistent within one
+    build* — the oracle replays the same trajectory from the rounded
+    centroids, so any flip would surface as a red `ivf_kmeans_topk`
+    row rather than silent wrongness."""
     cents = ivf_centroids(dim, n_cells, seed)
     for _ in range(iters):
         assigned = with_ivf_cell(emb, cents, vec_col=vec_col)
