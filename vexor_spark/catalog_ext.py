@@ -26,6 +26,7 @@ from vexor_spark.operators.dedup import (
     minhash_signatures,
     near_dup_pairs,
     simhash_near_dup_pairs,
+    simhash64_near_dup_pairs,
     simhash_table,
 )
 from vexor_spark.operators.fusion import rrf_topk
@@ -816,6 +817,107 @@ def _sql_simhash() -> str:
 ),
 hs AS (SELECT doc_id, list_transform(toks, t -> {_POLY.format(s='t')}) AS hashes FROM tok)
 SELECT doc_id::BIGINT AS doc_id, ({bit_terms})::BIGINT AS simhash FROM hs"""
+
+
+# Planted-edge heterogeneous corpus for the 64-bit arm: every 11th doc
+# gets a near-duplicate (one appended token) under doc_id+100000. At 64
+# bits the background Hamming distribution sits near 32 (measured p1=9
+# on this corpus), so the output is the planted edges + the corpus's own
+# genuine duplicates — non-degenerate, unlike 16-bit word-soup.
+def _edge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_table(spark, sf_dir).select("doc_id", "text")
+    edges = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq7")).alias("text"),
+    )
+    return d.union(edges)
+
+
+SQL_EDGE_DOCS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' qq7' AS text "
+    "FROM documents WHERE doc_id % 11 = 0"
+)
+
+
+def q_simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit production SimHash near-dup arm over the planted-edge
+    corpus: all pairs with hamming(simhash64) ≤ 3 and exact shingle
+    Jaccard ≥ 0.8. Spark blocks on 4 × 16-bit pigeonhole keys; the
+    oracle brute-forces every pair, so a green row re-proves the
+    blocking is lossless at the production width too."""
+    docs = _edge_docs(spark, sf_dir).select(
+        "doc_id", tokenize_col("text").alias("tokens")
+    )
+    pairs = simhash64_near_dup_pairs(docs, "tokens", hamming_max=3, threshold=0.8)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+        F.round("jaccard", RND).alias("jaccard"),
+    )
+
+
+def _sql_simhash64_near_dup() -> str:
+    # sim64 via unnest + groupBy (mirrors simhash64_table's two-phase
+    # agg): three affine spreads of the poly hash supply 64 bits. Bit
+    # 63 is the sign bit — DuckDB rejects 1::BIGINT << 63, so it is
+    # set via the MIN_LONG literal; assembly is bitwise OR on both
+    # engines (wrap-free). Tokenless docs re-enter via LEFT JOIN with
+    # NULL counts → every CASE falls to 0 → sim 0.
+    from vexor_spark.operators.dedup import SIMHASH64_BITS, SIMHASH64_PARAMS
+
+    drv_cols = ", ".join(
+        f"({a}*h + {b}) % 2147483647 AS d{k}"
+        for k, (a, b) in enumerate(SIMHASH64_PARAMS)
+    )
+    cnt_cols = ", ".join(
+        f"sum((d{j // 31} >> {j % 31}) & 1) AS c{j}" for j in range(SIMHASH64_BITS)
+    )
+    bit_terms = " | ".join(
+        (
+            f"(CASE WHEN 2*c.c{j} > c.n THEN (-9223372036854775808)::BIGINT"
+            " ELSE 0::BIGINT END)"
+            if j == 63
+            else f"(CASE WHEN 2*c.c{j} > c.n THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        )
+        for j in range(SIMHASH64_BITS)
+    )
+    shingle_cte = SQL_SHINGLE_HASHES.format(poly_t=_POLY.format(s="t")).strip()
+    return f"""WITH ed AS ({SQL_EDGE_DOCS}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_LOWER}') AS toks
+  FROM ed
+),
+{shingle_cte},
+shh AS (SELECT doc_id, list_distinct(hashes) AS hs FROM hs),
+hr AS (SELECT doc_id, unnest(th) AS h FROM th),
+drv AS (SELECT doc_id, {drv_cols} FROM hr),
+cnt AS (SELECT doc_id, count(*) AS n, {cnt_cols} FROM drv GROUP BY doc_id),
+sims AS (
+  SELECT t.doc_id, COALESCE({{bt}}, 0)::BIGINT AS sim
+  FROM th t LEFT JOIN cnt c ON t.doc_id = c.doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, c.hamming,
+    CASE WHEN len(a.hs) + len(b.hs)
+              - len(list_filter(a.hs, x -> list_contains(b.hs, x))) > 0
+         THEN (len(list_filter(a.hs, x -> list_contains(b.hs, x)))::DOUBLE)
+              / (len(a.hs) + len(b.hs)
+                 - len(list_filter(a.hs, x -> list_contains(b.hs, x))))::DOUBLE
+         ELSE 0.0 END
+    AS jaccard
+  FROM cand c JOIN shh a ON c.doc_a = a.doc_id JOIN shh b ON c.doc_b = b.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, hamming,
+       round(jaccard, {RND}) AS jaccard
+FROM verified WHERE jaccard >= 0.8""".replace("{bt}", bit_terms)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1623,6 +1725,7 @@ EXT_QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
+    "simhash64_near_dup": q_simhash64_near_dup,
     "exclude_filter": q_exclude_filter,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -1653,6 +1756,7 @@ EXT_ORACLE_SQL = {
     "near_dup_pairs": _sql_near_dup_pairs(),
     "simhash": _sql_simhash(),
     "simhash_near_dup": _sql_simhash_near_dup(),
+    "simhash64_near_dup": _sql_simhash64_near_dup(),
     "exclude_filter": _sql_exclude_filter(),
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
