@@ -57,5 +57,15 @@ def test_eval_arm_floors(spark):
     assert metrics["hybrid"]["mrr@10"] >= metrics["bm25"]["mrr@10"]
     assert metrics["bm25_full"]["mrr@10"] == 1.0
     assert metrics["bm25_full"]["hit@1"] == 1.0
+
+    # Strong deterministic dense leg (256-dim hashing-trick BoW): the
+    # dense-dependent arms must be non-degenerate and ordered — fusion
+    # beats rerank beats dense-only, all strictly above the
+    # letter-count backend (round-3 verdict item 2; EVAL.md carries
+    # the 500/5k/20k-page campaign numbers).
+    assert metrics["off_hbow"]["mrr@10"] > 0.0
+    assert metrics["hybrid_hbow"]["mrr@10"] >= metrics["bm25_hbow"]["mrr@10"]
+    assert metrics["bm25_hbow"]["mrr@10"] >= metrics["off_hbow"]["mrr@10"]
+    assert metrics["off_hbow"]["mrr@10"] > metrics["off"]["mrr@10"]
     index.docs.unpersist()
     index.postings.unpersist()

@@ -21,25 +21,37 @@ ARMS = ("off", "bm25", "hybrid")
 # `bm25_full` is this engine's primary path — full-corpus BM25 over
 # the inverted index — included so the eval shows what the index
 # itself delivers when the dense leg degrades with corpus size.
-ALL_ARMS = ARMS + ("bm25_full",)
+# The `*_hbow` arms rerun the same three orchestrations with the
+# strong deterministic dense leg (256-dim hashing-trick bag-of-words,
+# fusion.hashed_bow_scores) instead of the letter-count test backend —
+# no model or network, but actually discriminative at corpus scale.
+HBOW_ARMS = ("off_hbow", "bm25_hbow", "hybrid_hbow")
+ALL_ARMS = ARMS + ("bm25_full",) + HBOW_ARMS
 
 
 def _ranked_urls(index: InMemoryIndex, arm: str, query: str, top: int) -> list[str]:
     if arm == "bm25_full":
         rows = index.search(query, k=top).orderBy("rank").select("url").collect()
         return [r["url"] for r in rows]
-    if arm == "off":
+    backend = "hashed_bow" if arm.endswith("_hbow") else "letter"
+    base = arm.removesuffix("_hbow")
+    if base == "off":
         from vexor_spark.plans.topk import take_ranked
 
         ranked = take_ranked(
-            dense_scores(index.docs, query),
+            dense_scores(
+                index.docs,
+                query,
+                backend,
+                hbow_counts=index.hbow_counts() if backend == "hashed_bow" else None,
+            ),
             [F.desc("dense_score"), F.asc("doc_id")],
             top,
         )
-    elif arm == "bm25":
-        ranked = weighted_rerank_search(index, query, top)
-    elif arm == "hybrid":
-        ranked = hybrid_search(index, query, top)
+    elif base == "bm25":
+        ranked = weighted_rerank_search(index, query, top, dense_backend=backend)
+    elif base == "hybrid":
+        ranked = hybrid_search(index, query, top, dense_backend=backend)
     else:
         raise ValueError(arm)
     rows = (

@@ -42,6 +42,18 @@ class InMemoryIndex:
     doc_count: int
     avg_doc_len: float
     term_buckets: int = 64
+    _hbow: DataFrame | None = None
+
+    def hbow_counts(self) -> DataFrame:
+        """Per-doc hashed-bag-of-words histogram (fusion.
+        hashed_bow_counts), built lazily ONCE per index and persisted:
+        a query suite over the hashed_bow dense backend pays the
+        tokenize/explode corpus scan once, not per query."""
+        if self._hbow is None:
+            from vexor_spark.operators.fusion import hashed_bow_counts
+
+            self._hbow = hashed_bow_counts(self.docs).persist()
+        return self._hbow
 
     def search(
         self,

@@ -60,6 +60,95 @@ def letter_cosine_col(text: Column, query_text: str) -> Column:
     return F.when(sq > 0, dot / (F.sqrt(sq) * F.lit(qnorm))).otherwise(F.lit(0.0))
 
 
+HASHED_BOW_DIM = 256
+
+
+def hashed_bow_query_vec(query: str, dim: int = HASHED_BOW_DIM) -> dict[int, int]:
+    """{bucket: count} for a query under the hashing-trick bag-of-words
+    backend: BM25 tokens of lower(query), bucketed pmod(xxhash64, dim)
+    via the pure-Python XXH64 that is bit-identical to Spark's
+    xxhash64 (functions/hashing.py) — so driver-side query vectors and
+    JVM-side doc vectors live in the same space."""
+    import re as _re
+
+    from vexor_spark.constants import TOKEN_PATTERN_LOWER
+    from vexor_spark.functions.hashing import spark_pmod_bucket
+
+    vec: dict[int, int] = {}
+    for t in _re.findall(TOKEN_PATTERN_LOWER, query.lower()):
+        b = spark_pmod_bucket(t, dim)
+        vec[b] = vec.get(b, 0) + 1
+    return vec
+
+
+def hashed_bow_counts(
+    docs: DataFrame, dim: int = HASHED_BOW_DIM, text_col: str = "label"
+) -> DataFrame:
+    """(doc_id, b, c) — per-doc hashed-bucket histogram. Query-
+    independent: build once per corpus (InMemoryIndex.hbow_counts
+    persists it) so a query suite pays the tokenize/explode scan once,
+    not per query."""
+    from vexor_spark.functions.tokenize import tokenize_col
+
+    buckets = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                tokenize_col(F.col(text_col)),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(dim)),
+            )
+        ).alias("b"),
+    )
+    return buckets.groupBy("doc_id", "b").agg(
+        F.count("b").cast("double").alias("c")
+    )
+
+
+def hashed_bow_scores(
+    docs: DataFrame,
+    query: str,
+    dim: int = HASHED_BOW_DIM,
+    text_col: str = "label",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, dense_score) — cosine between the dim-bucket hashed
+    bag-of-words of each doc's `text_col` and of the query. The
+    deterministic STRONG dense leg (vs the reference's letter-count
+    test backend, which is noise past a few hundred docs): a seeded
+    hashing-trick embedding needs no model or network yet actually
+    discriminates word-soup corpora, making the off/bm25/hybrid eval
+    arms meaningful at scale (EVAL.md).
+
+    Shape: explode token buckets → two-phase count per (doc, bucket) →
+    broadcast-join the ≤|query| nonzero query buckets → one more
+    two-phase agg for dot and norm. All whole-stage codegen, shuffles
+    keyed on doc_id — the same scale-safe pattern as simhash_table.
+    Empty docs (explode_outer null bucket) score 0.0."""
+    spark = docs.sparkSession
+    qvec = hashed_bow_query_vec(query, dim)
+    qnorm = sum(v * v for v in qvec.values()) ** 0.5
+    if qnorm == 0:
+        return docs.select("doc_id", F.lit(0.0).alias("dense_score"))
+    qdf = spark.createDataFrame(
+        [(b, float(c)) for b, c in sorted(qvec.items())], "b long, q double"
+    )
+    if counts is None:
+        counts = hashed_bow_counts(docs, dim, text_col)
+    joined = counts.join(F.broadcast(qdf), "b", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.coalesce(F.col("q"), F.lit(0.0))).alias("dot"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("dnorm"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.when(
+            F.col("dnorm") > 0, F.col("dot") / (F.col("dnorm") * F.lit(qnorm))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dense_score"),
+    )
+
+
 def rrf_candidate_budget(k: int, w_dense: float = RRF_DENSE_WEIGHT, rrf_k: int = RRF_K) -> int:
     """Smallest per-leg candidate count T that makes bounded RRF exact.
 

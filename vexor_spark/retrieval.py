@@ -40,22 +40,54 @@ from vexor_spark.constants import (
     TOKEN_PATTERN,
 )
 from vexor_spark.index.build import InMemoryIndex
-from vexor_spark.operators.fusion import BM25L_DELTA, letter_cosine_col, rrf_topk
+from vexor_spark.operators.fusion import (
+    BM25L_DELTA,
+    hashed_bow_scores,
+    letter_cosine_col,
+    rrf_topk,
+)
 from vexor_spark.operators.scoring import score_postings_df
 
+# Dense backends: "letter" is the reference's own test embedding
+# (DummyBackend letter counts — kept for parity with
+# tests/integration/test_end_to_end.py:15-30); "hashed_bow" is the
+# deterministic strong leg (256-dim hashing-trick bag-of-words) that
+# keeps the dense-dependent arms meaningful at corpus scale (EVAL.md).
+DENSE_BACKENDS = ("letter", "hashed_bow")
 
-def dense_scores(docs: DataFrame, query: str) -> DataFrame:
-    """(doc_id, dense_score) — letter-count cosine of label vs query."""
+
+def dense_scores(
+    docs: DataFrame,
+    query: str,
+    backend: str = "letter",
+    *,
+    hbow_counts: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, dense_score) — cosine of the chosen deterministic
+    embedding of each doc's label vs the query. `hbow_counts` feeds a
+    precomputed histogram (InMemoryIndex.hbow_counts) to the
+    hashed_bow backend so suites skip the per-query corpus scan."""
+    if backend == "hashed_bow":
+        return hashed_bow_scores(docs, query, counts=hbow_counts)
+    if backend != "letter":
+        raise ValueError(f"unknown dense backend: {backend!r}")
     return docs.select(
         "doc_id", letter_cosine_col(F.col("label"), query).alias("dense_score")
     )
 
 
-def hybrid_search(index: InMemoryIndex, query: str, k: int = 10) -> DataFrame:
+def hybrid_search(
+    index: InMemoryIndex, query: str, k: int = 10, *, dense_backend: str = "letter"
+) -> DataFrame:
     """(rank, doc_id, score) — RRF fusion of dense + BM25 (bm25.py:92-115,
     top-k by (fused desc, doc_id asc) per search_service.py:176-182).
     Exact via the bounded-candidate argument in fusion.rrf_candidate_budget."""
-    dense = dense_scores(index.docs, query)
+    dense = dense_scores(
+        index.docs,
+        query,
+        dense_backend,
+        hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+    )
     bm25 = score_postings_df(index.postings, query, index.doc_count, index.avg_doc_len)
     fused = rrf_topk(dense, bm25, k)
     return fused.select("rank", "doc_id", F.col("fused").alias("score"))
@@ -107,7 +139,9 @@ def _normalize_by_max(scores: list[float]) -> list[float]:
     return [s / mx for s in scores]
 
 
-def weighted_rerank_search(index: InMemoryIndex, query: str, k: int = 10) -> DataFrame:
+def weighted_rerank_search(
+    index: InMemoryIndex, query: str, k: int = 10, *, dense_backend: str = "letter"
+) -> DataFrame:
     """(rank, doc_id, score) — legacy `rerank=bm25` arm: dense candidate
     clamp, BM25L over the candidate micro-corpus, 0.7/0.3 weighted sum of
     max-normalized scores (search_service.py:199-218), stable ties by
@@ -121,7 +155,12 @@ def weighted_rerank_search(index: InMemoryIndex, query: str, k: int = 10) -> Dat
     schema = "rank long, doc_id long, score double"
     n_cand = resolve_rerank_candidates(k)
     cand_rows = (
-        dense_scores(index.docs, query)
+        dense_scores(
+            index.docs,
+            query,
+            dense_backend,
+            hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+        )
         .join(index.docs.select("doc_id", "url", "preview"), "doc_id")
         .orderBy(F.desc("dense_score"), F.asc("doc_id"))
         .limit(n_cand)
