@@ -63,6 +63,8 @@ class InMemoryIndex:
         round_dp: int | None = None,
         url_prefix: str | None = None,
         exclude_patterns: list[str] | None = None,
+        rerank: str | None = None,
+        rerank_kwargs: dict | None = None,
     ) -> DataFrame:
         """url_prefix / exclude_patterns narrow results post-hoc with
         FULL-corpus BM25 stats — the reference's superset-index reuse
@@ -70,7 +72,46 @@ class InMemoryIndex:
         df/avgdl come from the superset index, docs outside the filter
         are dropped before top-k). exclude_patterns follow the
         gitignore grammar (functions/ignore.py, vexor/utils.py:51-99)
-        applied to the url's root-relative path."""
+        applied to the url's root-relative path.
+
+        `rerank` selects the reference's rerank arms
+        (search_service.py:636-647): None = full-corpus BM25 (this
+        engine's primary path), 'bm25' = legacy weighted rerank,
+        'hybrid' = RRF fusion, 'flashrank' / 'remote' = external
+        scorer over the dense candidate clamp (vexor_spark/rerank.py;
+        pass ranker/transport/config/dense_backend via rerank_kwargs —
+        import-gated, deterministic fakes in tests)."""
+        if rerank is not None:
+            kw = dict(rerank_kwargs or {})
+            if rerank == "bm25":
+                from vexor_spark.retrieval import weighted_rerank_search
+
+                ranked = weighted_rerank_search(self, query, k, **kw)
+            elif rerank == "hybrid":
+                from vexor_spark.retrieval import hybrid_search
+
+                ranked = hybrid_search(self, query, k, **kw)
+            elif rerank == "flashrank":
+                from vexor_spark.rerank import flashrank_rerank_search
+
+                ranked = flashrank_rerank_search(self, query, k, **kw)
+            elif rerank == "remote":
+                from vexor_spark.rerank import remote_rerank_search
+
+                ranked = remote_rerank_search(self, query, k, **kw)
+            else:
+                raise ValueError(f"unknown rerank arm: {rerank!r}")
+            meta = self.docs.select(
+                "doc_id", "url", "chunk_index", "preview", "start_line", "end_line"
+            )
+            return (
+                meta.join(F.broadcast(ranked), "doc_id")
+                .select(
+                    "rank", "doc_id", "url", "score", "preview",
+                    "chunk_index", "start_line", "end_line",
+                )
+                .orderBy("rank")
+            )
         scored = score_postings_df(self.postings, query, self.doc_count, self.avg_doc_len)
         if url_prefix is not None:
             allowed = self.docs.filter(
