@@ -180,3 +180,34 @@ def test_search_local_term_cache(spark, tmp_path):
     pi.term_cache_max = 4
     pi.search_local("hash join sort customer events", k=5)
     assert len(pi._term_cache) <= 4
+
+
+def test_search_distributed_multi_rank_identity(spark, tmp_path):
+    """One-job batch serving must be rank-identical to per-query
+    search_distributed on every query (shared scan + shared decode
+    change the plan, not the math)."""
+    from vexor_spark.index.storage import PersistedIndex, build_and_write_index
+    from vexor_spark.sources.corpus import generate_pages_df, query_suite
+
+    pages = generate_pages_df(spark, 150, edges=True, partitions=4)
+    build_and_write_index(pages, tmp_path / "multi", term_buckets=8)
+    pi = PersistedIndex(spark, tmp_path / "multi")
+
+    queries = {f"q{i}": q["query"] for i, q in enumerate(query_suite(150)[:8])}
+    batch = pi.search_distributed_multi(queries, k=10).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query"], []).append(
+            (int(r["rank"]), int(r["doc_id"]), round(float(r["score"]), 6))
+        )
+    for name, q in queries.items():
+        single = [
+            (int(r["rank"]), int(r["doc_id"]), round(float(r["score"]), 6))
+            for r in pi.search_distributed(q, k=10).collect()
+        ]
+        got = sorted(by_q.get(name, []))
+        assert got == sorted(single), name
+
+    # empty batch / no-term queries degrade cleanly
+    assert pi.search_distributed_multi({}, k=5).count() == 0
+    assert pi.search_distributed_multi({"e": "!!!"}, k=5).count() == 0

@@ -685,6 +685,68 @@ class PersistedIndex:
             scored = self._score_blocks(self._matched_blocks(terms))
         return top_k(scored, k)
 
+    def search_distributed_multi(
+        self, queries: dict[str, str], k: int = 10
+    ) -> DataFrame:
+        """(query, rank, doc_id, score) for a WHOLE query batch in ONE
+        distributed job — the bm25_topk_multi pattern applied to the
+        persisted artifact (round-3 verdict item 8).
+
+        Shape: one postings scan bucket-pruned to the UNION of the
+        batch's terms, one varint decode per matched block (a term
+        shared by q queries decodes once, not q times), per-(term, doc)
+        BM25 contributions computed once, replicated to queries via a
+        broadcast (query, term) join, summed by (query, doc_id), and
+        ranked per query by a row_number the optimizer bounds with
+        WindowGroupLimit (each query's partition keeps ≤ k rows before
+        the final sort). Amortization vs sequential search_distributed
+        calls = shared scan + shared decode + one job's fixed overhead
+        for the whole suite (measured in BENCH_r04).
+
+        Rank-identical to per-query search_distributed by construction:
+        same blocks, same contributions, same (score desc, doc_id asc)
+        order (pinned in test_storage.py)."""
+        from pyspark.sql import Window
+
+        spark = self.spark
+        qterms = {name: prepare_query_terms(q) for name, q in queries.items()}
+        terms_all = sorted({t for ts in qterms.values() for t in ts})
+        if not terms_all or self.doc_count <= 0 or self.avg_doc_len <= 0:
+            return spark.createDataFrame(
+                [], "query string, rank long, doc_id long, score double"
+            )
+        qdf = spark.createDataFrame(
+            [(n, t) for n, ts in qterms.items() for t in ts],
+            "query string, term string",
+        )
+        exploded = self._matched_blocks(terms_all).select(
+            "term",
+            F.col("df").cast("double").alias("df"),
+            F.explode(decode_postings_udf("blob")).alias("p"),
+        ).select(
+            "term",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").cast("double").alias("tf"),
+            F.col("p.doc_len").cast("double").alias("doc_len"),
+            "df",
+        )
+        contrib = bm25_contribution_col(
+            F.col("tf"), F.col("doc_len"), F.col("df"),
+            float(self.doc_count), float(self.avg_doc_len),
+        )
+        scored = (
+            exploded.withColumn("contribution", contrib)
+            .join(F.broadcast(qdf), "term")
+            .groupBy("query", "doc_id")
+            .agg(F.sum("contribution").alias("score"))
+        )
+        w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query", "rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
+        )
+
     def decorate(self, ranked: DataFrame) -> DataFrame:
         """Attach chunk metadata (broadcast join, reference J6)."""
         meta = self.docs.select(
