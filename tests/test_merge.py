@@ -159,3 +159,62 @@ def test_removed_docs_leave_the_index(spark, tmp_path):
     assert pi.search_local(f"alpha{last}", k=5) == []
     assert pi.doc_count == N_PAGES - 1
     assert len(pi.search_local("common", k=100, prune=False)) == N_PAGES - 1
+
+
+def test_unaffected_terms_pass_through_byte_identical(spark, tmp_path):
+    """Within an AFFECTED term-bucket partition, terms the change does
+    not name keep byte-identical blobs (the passthrough path: no
+    decode, no re-encode) — merge CPU ∝ affected terms' postings."""
+    work, idx = tmp_path / "work", tmp_path / "idx"
+    update_persisted_index(_df(spark, _corpus()), work, idx, term_buckets=4)
+
+    from vexor_spark.functions.codec import decode_postings_udf
+    from pyspark.sql import functions as F
+
+    def _blobs(d):
+        return {
+            (r["term"], r["block_id"]): bytes(r["blob"])
+            for r in spark.read.parquet(str(d / "postings")).collect()
+        }
+
+    def _terms_of_url(d, url):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(d / "docs"))
+            .filter(F.col("url") == url).collect()
+        }
+        rows = (
+            spark.read.parquet(str(d / "postings"))
+            .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
+            .select("term", F.col("p.doc_id").alias("doc_id"))
+            .collect()
+        )
+        return {r["term"] for r in rows if r["doc_id"] in ids}
+
+    url3 = _pages(3, "x")["url"]
+    before = _blobs(idx)
+    old_terms3 = _terms_of_url(idx, url3)
+    # mutate one page: its old terms (alpha3...) and new terms are the
+    # affected set; with only 4 term buckets every bucket is affected,
+    # so the OLD design would re-encode every term.
+    s = update_persisted_index(
+        _df(spark, _corpus(mutations={3: "changed body words"})),
+        work, idx, term_buckets=4,
+    )
+    assert s["action"] == "incremental"
+    after = _blobs(idx)
+    # affected = page 3's old + new terms, derived EXACTLY from the
+    # artifacts (includes url-derived tokens shared by every page —
+    # their blobs re-encode because page 3's doc_len changed).
+    affected = old_terms3 | _terms_of_url(idx, url3)
+    unaffected_keys = [k for k in before if k[0] not in affected]
+    assert unaffected_keys, "test corpus must have unaffected terms"
+    for k in unaffected_keys:
+        assert after[k] == before[k], k
+    # every vanished/changed key names an affected term
+    assert all(k[0] in affected for k in set(before) - set(after))
+    # 'common' was in page 3's OLD body but not the new one: it must be
+    # re-encoded (affected via old_terms) with df dropping by exactly 1
+    from vexor_spark.index.storage import PersistedIndex
+    pi = PersistedIndex(spark, idx)
+    assert pi.term_dict(["common"])["common"][0] == N_PAGES - 1

@@ -197,9 +197,19 @@ def _incremental_merge(
         .distinct()
     )
     tf_new = term_freqs(changed_tok.select("doc_id", "doc_len", "tokens"))
+    # Terms whose postings can change = terms of new/changed docs ∪
+    # terms of the removed old docs. Everything else in an affected
+    # bucket passes through BYTE-IDENTICAL (no decode, no re-encode):
+    # merge CPU is ∝ Σ|postings of affected terms|, not ∝ the affected
+    # buckets' total postings — at web vocabularies (mostly tail terms)
+    # that is the difference between touching a bucket's whole term
+    # range and only the terms the change actually names.
+    affected_terms = (
+        tf_new.select("term").distinct().union(old_terms).distinct().persist()
+    )
     affected = sorted(
         int(r["b"])
-        for r in tf_new.select("term").distinct().union(old_terms)
+        for r in affected_terms
         .select(F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("b"))
         .distinct()
         .collect()
@@ -207,9 +217,12 @@ def _incremental_merge(
 
     produced: set[int] = set()
     if affected:
+        old_block_rows = spark.read.parquet(str(index_dir / "postings")).filter(
+            F.col("term_bucket").isin(affected)
+        )
+        passthrough = old_block_rows.join(affected_terms, "term", "left_anti")
         old_rows = (
-            spark.read.parquet(str(index_dir / "postings"))
-            .filter(F.col("term_bucket").isin(affected))
+            old_block_rows.join(affected_terms, "term", "left_semi")
             .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
             .select(
                 "term",
@@ -229,8 +242,17 @@ def _incremental_merge(
         )
         # Encode with the ORIGINAL ub basis so merged partitions stay
         # consistent with untouched ones; queries correct for drift via
-        # ub_factor (module docstring).
-        blocks = _sorted_block_rows(merged_tf, basis, term_buckets, block_size).persist()
+        # ub_factor (module docstring). Unaffected terms rejoin as raw
+        # block rows (df unchanged by construction: any doc whose
+        # removal could change a term's df marks that term affected).
+        blocks = (
+            _sorted_block_rows(merged_tf, basis, term_buckets, block_size)
+            .unionByName(passthrough.select(
+                "term", "term_bucket", "df", "block_id", "n",
+                "block_first", "block_last", "block_ub", "blob",
+            ))
+            .persist()
+        )
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -259,6 +281,7 @@ def _incremental_merge(
     joined.unpersist()
     changed_tok.unpersist()
     doc_table.unpersist()
+    affected_terms.unpersist()
     cleanup()
     return {
         "action": "incremental",

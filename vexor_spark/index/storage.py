@@ -668,10 +668,13 @@ class PersistedIndex:
         )
 
     def search_distributed(
-        self, query: str, k: int = 10, *, prune: bool = False
+        self, query: str, k: int = 10, *, prune: bool = False,
+        metrics: dict | None = None,
     ) -> DataFrame:
         """(rank, doc_id, score) DataFrame — executor-side decode+score;
-        with prune=True, block-max pruned (exact — see wand.py)."""
+        with prune=True, block-max pruned (exact — see wand.py).
+        `metrics` (with prune) collects the pruning counters — opt-in,
+        costs extra count() actions (wand.pruned_scores docstring)."""
         terms = prepare_query_terms(query)
         spark = self.spark
         if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:
@@ -680,7 +683,7 @@ class PersistedIndex:
         if prune:
             from vexor_spark.index.wand import pruned_scores
 
-            scored = pruned_scores(self, terms, k)
+            scored = pruned_scores(self, terms, k, metrics=metrics)
         else:
             scored = self._score_blocks(self._matched_blocks(terms))
         return top_k(scored, k)

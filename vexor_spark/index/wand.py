@@ -47,10 +47,18 @@ def _idf(df: int, n: int) -> float:
     return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
 
-def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
+def pruned_scores(
+    pidx, terms: list[str], k: int, metrics: dict | None = None
+) -> DataFrame:
     """(doc_id, score) for the matched docs that can reach the top-k —
     exact scores (equal to the unpruned path) for every returned doc
-    that belongs to the true top-k."""
+    that belongs to the true top-k.
+
+    `metrics`, when given, is filled with pruning counters (theta,
+    blocks_total / blocks_passing / blocks_decoded, candidates) — the
+    evidence that block-max pruning engages; counting costs two extra
+    .count() actions on the persisted block frame, so it is opt-in and
+    off on the serving path."""
     spark = pidx.spark
     n, avgdl = pidx.doc_count, pidx.avg_doc_len
 
@@ -86,7 +94,11 @@ def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
         .collect()
     )
     theta = star_contrib[-1]["c"] if len(star_contrib) >= k else 0.0
+    if metrics is not None:
+        metrics["theta"] = float(theta)
     if theta <= 0.0:
+        if metrics is not None:
+            metrics["pruned"] = False
         return pidx._score_blocks(blocks)
 
     # --- candidate pass: docs in blocks whose bound can reach θ
@@ -112,6 +124,11 @@ def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
             .limit(MAX_CANDIDATES + 1)
             .collect()
         )
+        if metrics is not None:
+            metrics["blocks_total"] = bounded.count()
+            metrics["blocks_passing"] = bounded.filter("passes").count()
+            metrics["candidates"] = len(candidates_rows)
+            metrics["pruned"] = len(candidates_rows) <= MAX_CANDIDATES
         if len(candidates_rows) > MAX_CANDIDATES:
             return pidx._score_blocks(blocks)
         candidates = sorted(r["doc_id"] for r in candidates_rows)
@@ -151,6 +168,8 @@ def pruned_scores(pidx, terms: list[str], k: int) -> DataFrame:
                 ["term", "block_id"]
             )
 
+        if metrics is not None:
+            metrics["blocks_decoded"] = needed.count()
         cset_df = spark.createDataFrame([(int(c),) for c in candidates], "doc_id long")
         exploded = needed.select(
             F.col("df").cast("double").alias("df"),
