@@ -219,6 +219,16 @@ def main() -> None:
                 "median_sec": big.get("query_median_sec"),
                 "p95_sec": big.get("query_p95_sec"),
             }
+            result["distributed_query_latency"] = {
+                "median_sec": big.get("dist_query_median_sec"),
+                "p95_sec": big.get("dist_query_p95_sec"),
+            }
+            result["multiquery"] = {
+                "batch_secs": big.get("multiquery_batch_secs"),
+                "amortization_vs_sequential_pruned": big.get(
+                    "multiquery_amortization"
+                ),
+            }
             result["index_build_docs_per_sec"] = b_best["docs_per_sec"]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

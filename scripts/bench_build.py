@@ -120,6 +120,26 @@ def main() -> None:
         out["query_p95_sec"] = round(lats[int(len(lats) * 0.95) - 1], 4)
         out["query_mean_sec"] = round(statistics.mean(lats), 4)
 
+        # distributed serving path (block-max pruned) + multi-query
+        # batch amortization: the round-4 headline serving metrics at
+        # sf-bench scale (the 2M-doc numbers live in BENCH_R04_SCALE).
+        pidx.search_distributed(suite[0]["query"], k=10, prune=True).collect()
+        dist = []
+        for q in suite:
+            tq = time.time()
+            pidx.search_distributed(q["query"], k=10, prune=True).collect()
+            dist.append(time.time() - tq)
+        dist.sort()
+        out["dist_query_median_sec"] = round(statistics.median(dist), 4)
+        out["dist_query_p95_sec"] = round(dist[int(len(dist) * 0.95) - 1], 4)
+        seq = sum(dist)
+        qmap = {f"q{i:02d}": q["query"] for i, q in enumerate(suite)}
+        t0 = time.time()
+        pidx.search_distributed_multi(qmap, k=10).collect()
+        batch_secs = time.time() - t0
+        out["multiquery_batch_secs"] = round(batch_secs, 3)
+        out["multiquery_amortization"] = round(seq / batch_secs, 2)
+
     print("BENCH_BUILD " + json.dumps(out))
     spark.stop()
 

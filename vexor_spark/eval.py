@@ -44,6 +44,7 @@ def _ranked_urls(index: InMemoryIndex, arm: str, query: str, top: int) -> list[s
                 query,
                 backend,
                 hbow_counts=index.hbow_counts() if backend == "hashed_bow" else None,
+                hbow_idf=index.hbow_idf() if backend == "hashed_bow" else None,
             ),
             [F.desc("dense_score"), F.asc("doc_id")],
             top,

@@ -43,6 +43,7 @@ class InMemoryIndex:
     avg_doc_len: float
     term_buckets: int = 64
     _hbow: DataFrame | None = None
+    _hbow_idf: dict | None = None
 
     def hbow_counts(self) -> DataFrame:
         """Per-doc hashed-bag-of-words histogram (fusion.
@@ -54,6 +55,15 @@ class InMemoryIndex:
 
             self._hbow = hashed_bow_counts(self.docs).persist()
         return self._hbow
+
+    def hbow_idf(self) -> dict:
+        """Cached {bucket: idf} for the hashed-BoW backend (one
+        ≤dim-row agg over the persisted histogram)."""
+        if self._hbow_idf is None:
+            from vexor_spark.operators.fusion import hashed_bow_idf_map
+
+            self._hbow_idf = hashed_bow_idf_map(self.hbow_counts())
+        return self._hbow_idf
 
     def search(
         self,

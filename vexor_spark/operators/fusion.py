@@ -60,7 +60,14 @@ def letter_cosine_col(text: Column, query_text: str) -> Column:
     return F.when(sq > 0, dot / (F.sqrt(sq) * F.lit(qnorm))).otherwise(F.lit(0.0))
 
 
-HASHED_BOW_DIM = 256
+# Hashing-trick dimensionality. Sized like production hashing
+# embeddings (Spark MLlib HashingTF defaults to 2^18): the histogram's
+# row count is bounded by distinct tokens per doc — NOT by dim — so a
+# large dim costs only the ≤dim-row broadcast idf table, while a small
+# dim saturates (at 256, a 150-token label covers most buckets, every
+# bucket lands in nearly every doc, idf flattens, and the leg decays to
+# noise by ~20k docs — measured in EVAL.md round 4).
+HASHED_BOW_DIM = 1 << 16
 
 
 def hashed_bow_query_vec(query: str, dim: int = HASHED_BOW_DIM) -> dict[int, int]:
@@ -104,20 +111,43 @@ def hashed_bow_counts(
     )
 
 
+def hashed_bow_idf_map(counts: DataFrame) -> dict[int, float]:
+    """{bucket: idf} from the (doc_id, b, c) histogram — idf_b =
+    ln((N+1)/(df_b+0.5)) with df_b = #docs containing bucket b and N =
+    #docs. One two-phase agg over the histogram, ≤ dim rows collected;
+    InMemoryIndex caches the dict so suites pay it once. IDF weighting
+    is what keeps the hashing-trick leg discriminative as the corpus
+    grows: unweighted counts let stop-word buckets dominate both norms
+    and dots once collisions load every bucket (EVAL.md round 4)."""
+    import math
+
+    rows = counts.groupBy("b").agg(
+        F.count_distinct("doc_id").alias("df")
+    ).collect()
+    n = counts.select("doc_id").distinct().count()
+    return {
+        int(r["b"]): math.log((n + 1) / (int(r["df"]) + 0.5))
+        for r in rows
+        if r["b"] is not None
+    }
+
+
 def hashed_bow_scores(
     docs: DataFrame,
     query: str,
     dim: int = HASHED_BOW_DIM,
     text_col: str = "label",
     counts: DataFrame | None = None,
+    idf_map: dict[int, float] | None = None,
 ) -> DataFrame:
-    """(doc_id, dense_score) — cosine between the dim-bucket hashed
-    bag-of-words of each doc's `text_col` and of the query. The
-    deterministic STRONG dense leg (vs the reference's letter-count
-    test backend, which is noise past a few hundred docs): a seeded
-    hashing-trick embedding needs no model or network yet actually
+    """(doc_id, dense_score) — cosine between the IDF-weighted
+    dim-bucket hashed bag-of-words (hashing-trick tf-idf) of each
+    doc's `text_col` and of the query. The deterministic STRONG dense
+    leg (vs the reference's letter-count test backend, which is noise
+    past a few hundred docs): needs no model or network yet actually
     discriminates word-soup corpora, making the off/bm25/hybrid eval
-    arms meaningful at scale (EVAL.md).
+    arms meaningful at scale (EVAL.md). IDF weighting (not raw counts)
+    is load-bearing at corpus size — see hashed_bow_idf_map.
 
     Shape: explode token buckets → two-phase count per (doc, bucket) →
     broadcast-join the ≤|query| nonzero query buckets → one more
@@ -126,18 +156,42 @@ def hashed_bow_scores(
     Empty docs (explode_outer null bucket) score 0.0."""
     spark = docs.sparkSession
     qvec = hashed_bow_query_vec(query, dim)
-    qnorm = sum(v * v for v in qvec.values()) ** 0.5
+    if not qvec:
+        return docs.select("doc_id", F.lit(0.0).alias("dense_score"))
+    if counts is None:
+        # one materialization feeds both the idf agg and the scoring
+        counts = hashed_bow_counts(docs, dim, text_col).localCheckpoint(eager=False)
+    if idf_map is None:
+        idf_map = hashed_bow_idf_map(counts)
+    # cosine of the IDF-WEIGHTED vectors: doc component c_b·idf_b,
+    # query component q_b·idf_b. The dot needs no doc-side idf join —
+    # Σ (c·idf)(q·idf) = Σ c·(q·idf²), so idf² folds into the
+    # broadcast query column; the norm join is the ≤dim-row idf table.
+    # Query buckets absent from the corpus get idf 0 (they cannot
+    # match any doc; their exclusion scales every score equally).
+    qnorm = (
+        sum((c * idf_map.get(b, 0.0)) ** 2 for b, c in qvec.items()) ** 0.5
+    )
     if qnorm == 0:
         return docs.select("doc_id", F.lit(0.0).alias("dense_score"))
     qdf = spark.createDataFrame(
-        [(b, float(c)) for b, c in sorted(qvec.items())], "b long, q double"
+        [
+            (b, float(c) * idf_map.get(b, 0.0) ** 2)
+            for b, c in sorted(qvec.items())
+        ],
+        "b long, q2 double",
     )
-    if counts is None:
-        counts = hashed_bow_counts(docs, dim, text_col)
-    joined = counts.join(F.broadcast(qdf), "b", "left")
+    idf_df = spark.createDataFrame(
+        sorted((int(b), float(v)) for b, v in idf_map.items()), "b long, idf double"
+    )
+    joined = (
+        counts.join(F.broadcast(idf_df), "b", "left")
+        .withColumn("w", F.col("c") * F.coalesce(F.col("idf"), F.lit(0.0)))
+        .join(F.broadcast(qdf), "b", "left")
+    )
     per_doc = joined.groupBy("doc_id").agg(
-        F.sum(F.col("c") * F.coalesce(F.col("q"), F.lit(0.0))).alias("dot"),
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("dnorm"),
+        F.sum(F.col("c") * F.coalesce(F.col("q2"), F.lit(0.0))).alias("dot"),
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"),
     )
     return per_doc.select(
         "doc_id",

@@ -55,6 +55,7 @@ def _clamp_candidates(
             query,
             dense_backend,
             hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+            hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
         )
         .join(index.docs.select("doc_id", "url", "preview"), "doc_id")
         .orderBy(F.desc("dense_score"), F.asc("doc_id"))

@@ -62,13 +62,14 @@ def dense_scores(
     backend: str = "letter",
     *,
     hbow_counts: DataFrame | None = None,
+    hbow_idf: dict | None = None,
 ) -> DataFrame:
     """(doc_id, dense_score) — cosine of the chosen deterministic
     embedding of each doc's label vs the query. `hbow_counts` feeds a
     precomputed histogram (InMemoryIndex.hbow_counts) to the
     hashed_bow backend so suites skip the per-query corpus scan."""
     if backend == "hashed_bow":
-        return hashed_bow_scores(docs, query, counts=hbow_counts)
+        return hashed_bow_scores(docs, query, counts=hbow_counts, idf_map=hbow_idf)
     if backend != "letter":
         raise ValueError(f"unknown dense backend: {backend!r}")
     return docs.select(
@@ -87,6 +88,7 @@ def hybrid_search(
         query,
         dense_backend,
         hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+        hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
     )
     bm25 = score_postings_df(index.postings, query, index.doc_count, index.avg_doc_len)
     fused = rrf_topk(dense, bm25, k)
@@ -160,6 +162,7 @@ def weighted_rerank_search(
             query,
             dense_backend,
             hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+            hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
         )
         .join(index.docs.select("doc_id", "url", "preview"), "doc_id")
         .orderBy(F.desc("dense_score"), F.asc("doc_id"))
