@@ -1,0 +1,470 @@
+"""Delta segments — LSM-style index maintenance (round-4 addition).
+
+WHY: the 2M-page merge campaign (BENCH_R04_SCALE.json) measured the
+in-place incremental merge at 1.2-1.3× the cost of a full rebuild for
+diffuse 1-10% changes. That is structural, not a bug: every page
+carries unique tail terms (real webtext does too — urls, ids, rare
+words), so any diffuse change marks every term-hash partition
+affected, and an in-place merge must decode + re-encode the head
+terms' postings, which dominate the index's bytes. Production engines
+answer this with SEGMENTS (Lucene, Iceberg deletes): an update writes
+a small delta artifact, queries merge layers at read time, and a
+periodic compaction folds segments into the base. Update cost becomes
+∝ the change, not the corpus.
+
+Layout (under <index_dir>/):
+
+    segments.json            manifest: ordered seg ids, per-seg stats,
+                             base_len_sum / base_max_doc_id / next_doc_id
+    segments/seg=<n>/
+      postings/              (term, doc_id, tf, doc_len) ROW format,
+                             partitioned by term_bucket — deltas are
+                             small; they take block+varint form only at
+                             compaction (exactly Lucene's in-memory-
+                             segment vs merged-segment split)
+      docs/                  DOC_COLS rows for docs (re)written by this seg
+      tombstones/            doc_id — kills that id in ALL LOWER layers
+      dfdelta/               (term, term_bucket, df_new, df_removed)
+      seg.json               n_new/n_removed/len_new/len_removed
+
+Semantics:
+- A changed input bucket tombstones every doc the current VIEW holds
+  in that bucket and re-adds the bucket's current docs (stable ids:
+  a surviving (url, chunk_index) keeps its id; new keys draw fresh ids
+  from the manifest's next_doc_id counter — ids are never reused, so
+  tombstones stay unambiguous).
+- SegmentedIndex.search_distributed is EXACT: scores equal a full
+  rebuild of the current corpus (pinned by test_delta.py) because the
+  BM25 statistics are merged exactly — df(term) = base df + Σ(df_new −
+  df_removed), doc_count and avg_doc_len from the manifest's exact
+  length sums — and stored per-block df columns are overridden by the
+  merged map. (Doc IDS can differ from a from-scratch rebuild for new
+  urls — the rebuild re-densifies — so parity is asserted on (url,
+  score), with ties broken identically by each engine's doc_id order.)
+- `compact_segments` folds everything into the base artifact via the
+  existing full merge over the (already-current) chunk store and
+  clears the segment list.
+
+Reference anchor: replaces the same update flow as index/merge.py
+(vexor/services/index_service.py:263-344), trading read-time layer
+merging for update cost ∝ change size.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexor_spark.index.checkpoint import (
+    DEFAULT_INPUT_BUCKETS,
+    _append_metrics,
+    _bucket_col,
+    build_chunks_resumable,
+)
+from vexor_spark.index.merge import DOC_COLS, full_merge
+from vexor_spark.index.storage import PersistedIndex, decode_postings_udf
+from vexor_spark.functions.tokenize import prepare_query_terms
+from vexor_spark.operators.chunking import with_document
+from vexor_spark.operators.postings import term_freqs, tokenize_docs
+from vexor_spark.operators.scoring import bm25_contribution_col, top_k
+from vexor_spark.plans.docids import assign_doc_ids
+
+
+def _manifest_path(index_dir: Path) -> Path:
+    return index_dir / "segments.json"
+
+
+def load_manifest(spark: SparkSession, index_dir: Path) -> dict:
+    p = _manifest_path(index_dir)
+    if p.exists():
+        return json.loads(p.read_text())
+    # first delta: snapshot the base's exact length sum and max id once
+    base_docs = spark.read.parquet(str(index_dir / "docs"))
+    row = base_docs.agg(
+        F.sum("doc_len").alias("ls"), F.max("doc_id").alias("mx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return {
+        "segments": [],
+        "base_len_sum": int(row["ls"] or 0),
+        "base_doc_count": int(row["n"]),
+        "base_max_doc_id": int(row["mx"] if row["mx"] is not None else 0),
+        "next_doc_id": int(row["mx"] if row["mx"] is not None else 0) + 1,
+    }
+
+
+def _save_manifest(index_dir: Path, manifest: dict) -> None:
+    _manifest_path(index_dir).write_text(json.dumps(manifest, indent=1))
+
+
+def delta_update(
+    pages: DataFrame,
+    work_dir: str | Path,
+    index_dir: str | Path,
+    *,
+    n_buckets: int = DEFAULT_INPUT_BUCKETS,
+) -> dict:
+    """Apply the pages snapshot as a DELTA SEGMENT: stage-1 staleness
+    detection re-chunks only changed input buckets; the segment carries
+    those buckets' current postings (row format), tombstones for the
+    view's previous docs there, and exact df/length corrections.
+    Touches NOTHING under base postings/ or dict/. Cost ∝ changed
+    buckets (tokenize + one small shuffle), not corpus size."""
+    work_dir, index_dir = Path(work_dir), Path(index_dir)
+    spark = pages.sparkSession
+    t0 = time.time()
+    meta = json.loads((index_dir / "meta.json").read_text())
+    term_buckets = int(meta["term_buckets"])
+
+    stage1 = build_chunks_resumable(pages, work_dir, n_buckets=n_buckets)
+    changed = sorted(
+        list(stage1["stale_buckets"]) + list(stage1["removed_buckets"])
+    )
+    manifest = load_manifest(spark, index_dir)
+    if not changed:
+        return {
+            "action": "noop", "secs": round(time.time() - t0, 3),
+            "segments": len(manifest["segments"]),
+        }
+
+    view = SegmentedIndex(spark, index_dir, manifest=manifest)
+    old_changed = (
+        view.docs_view()
+        .withColumn("bucket", _bucket_col(F.col("url"), n_buckets))
+        .filter(F.col("bucket").isin([int(b) for b in changed]))
+        .persist()
+    )
+
+    chunks_dir = work_dir / "chunks"
+    present = [b for b in changed if (chunks_dir / f"bucket={b}").exists()]
+    if present:
+        new_chunks = (
+            spark.read.option("basePath", str(chunks_dir))
+            .parquet(*[str(chunks_dir / f"bucket={b}") for b in present])
+            .drop("bucket")
+        )
+    else:  # every changed bucket was removed outright
+        new_chunks = spark.createDataFrame(
+            [], "url string, chunk_index int, label string, preview string, "
+            "start_line int, end_line int",
+        )
+
+    # stable ids: surviving (url, chunk_index) keeps its id; fresh keys
+    # draw from next_doc_id (ids never reused — tombstones stay sharp).
+    old_keyed = old_changed.select(
+        F.col("doc_id").alias("_old_id"), "url", "chunk_index"
+    )
+    joined = new_chunks.join(old_keyed, ["url", "chunk_index"], "left").persist()
+    kept = joined.filter(F.col("_old_id").isNotNull()).withColumn(
+        "doc_id", F.col("_old_id")
+    )
+    fresh_src = joined.filter(F.col("_old_id").isNull())
+    id_intermediates: list = []
+    # assign_doc_ids is 0-based: fresh ids are next_doc_id, next+1, ...
+    fresh = assign_doc_ids(
+        fresh_src.drop("_old_id"), ["url", "chunk_index"],
+        id_col="_seq", persisted_out=id_intermediates,
+    ).withColumn(
+        "doc_id", F.col("_seq") + F.lit(int(manifest["next_doc_id"]))
+    ).drop("_seq")
+    seg_rows = kept.drop("_old_id").unionByName(fresh)
+    seg_docs = tokenize_docs(with_document(seg_rows), "document").persist()
+
+    stats_new = seg_docs.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("ls"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    stats_old = old_changed.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("ls"),
+    ).collect()[0]
+
+    seg_id = (manifest["segments"][-1]["seg"] + 1) if manifest["segments"] else 1
+    seg_dir = index_dir / "segments" / f"seg={seg_id}"
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
+    tf_new = term_freqs(seg_docs.select("doc_id", "doc_len", "tokens"))
+    tb = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    (
+        tf_new.withColumn("term_bucket", tb)
+        .select("term", "term_bucket", "doc_id", "tf", "doc_len")
+        .repartition("term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(str(seg_dir / "postings"))
+    )
+    seg_docs.select(*DOC_COLS).write.mode("overwrite").parquet(str(seg_dir / "docs"))
+    old_changed.select("doc_id").write.mode("overwrite").parquet(
+        str(seg_dir / "tombstones")
+    )
+    # exact df corrections: +new docs per term, −view docs per term
+    df_new = tf_new.groupBy("term").agg(F.count("*").alias("df_new"))
+    df_rem = (
+        tokenize_docs(with_document(old_changed), "document")
+        .select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df_removed"))
+    )
+    (
+        df_new.join(df_rem, "term", "full")
+        .select(
+            "term", tb.alias("term_bucket"),
+            F.coalesce("df_new", F.lit(0)).cast("long").alias("df_new"),
+            F.coalesce("df_removed", F.lit(0)).cast("long").alias("df_removed"),
+        )
+        .repartition("term_bucket").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(str(seg_dir / "dfdelta"))
+    )
+
+    rec = {
+        "seg": seg_id,
+        "n_new": int(stats_new["n"]),
+        "n_removed": int(stats_old["n"]),
+        "len_new": int(stats_new["ls"]),
+        "len_removed": int(stats_old["ls"]),
+        "changed_buckets": [int(b) for b in changed],
+    }
+    (seg_dir / "seg.json").write_text(json.dumps(rec, indent=1))
+    manifest["segments"].append(rec)
+    if stats_new["mx"] is not None:
+        manifest["next_doc_id"] = max(
+            int(manifest["next_doc_id"]), int(stats_new["mx"]) + 1
+        )
+    _save_manifest(index_dir, manifest)
+
+    old_changed.unpersist()
+    joined.unpersist()
+    seg_docs.unpersist()
+    for df_ in id_intermediates:
+        df_.unpersist()
+    out = {
+        "action": "delta",
+        "seg": seg_id,
+        "segments": len(manifest["segments"]),
+        "docs_written": rec["n_new"],
+        "docs_tombstoned": rec["n_removed"],
+        "secs": round(time.time() - t0, 3),
+        "stage1": {
+            k: stage1[k]
+            for k in ("buckets_total", "buckets_built", "buckets_removed", "pages_built")
+        },
+    }
+    _append_metrics(work_dir, {
+        "stage": "delta_update",
+        "at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        **{k: v for k, v in out.items() if k != "stage1"},
+    })
+    return out
+
+
+class SegmentedIndex:
+    """Read-time merged view over base PersistedIndex + delta segments
+    (see module docstring for exactness guarantees)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str | Path, *, manifest: dict | None = None):
+        self.spark = spark
+        self.dir = Path(index_dir)
+        self.base = PersistedIndex(spark, index_dir)
+        self.manifest = manifest if manifest is not None else load_manifest(spark, self.dir)
+        segs = self.manifest["segments"]
+        self.seg_ids = [s["seg"] for s in segs]
+        self.doc_count = self.manifest["base_doc_count"] + sum(
+            s["n_new"] - s["n_removed"] for s in segs
+        )
+        len_sum = self.manifest["base_len_sum"] + sum(
+            s["len_new"] - s["len_removed"] for s in segs
+        )
+        self.avg_doc_len = (len_sum / self.doc_count) if self.doc_count else 0.0
+
+    def _seg_dir(self, seg: int) -> Path:
+        return self.dir / "segments" / f"seg={seg}"
+
+    def _tombstones_above(self, layer: int) -> DataFrame | None:
+        """doc_id frame: tombstones of every segment with id > layer."""
+        dirs = [
+            str(self._seg_dir(s) / "tombstones") for s in self.seg_ids if s > layer
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs).select("doc_id").distinct()
+
+    def docs_view(self) -> DataFrame:
+        """Current doc table: per doc_id the row from the HIGHEST layer,
+        dropped when a later layer tombstoned it."""
+        from pyspark.sql import Window
+
+        layers = [
+            self.spark.read.parquet(str(self.dir / "docs"))
+            .select(*DOC_COLS).withColumn("_layer", F.lit(0))
+        ]
+        for s in self.seg_ids:
+            layers.append(
+                self.spark.read.parquet(str(self._seg_dir(s) / "docs"))
+                .select(*DOC_COLS).withColumn("_layer", F.lit(s))
+            )
+        allrows = layers[0]
+        for l in layers[1:]:
+            allrows = allrows.unionByName(l)
+        w = Window.partitionBy("doc_id").orderBy(F.desc("_layer"))
+        winner = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tomb_layers = [
+            self.spark.read.parquet(str(self._seg_dir(s) / "tombstones"))
+            .select("doc_id").withColumn("_tlayer", F.lit(s))
+            for s in self.seg_ids
+        ]
+        if not tomb_layers:
+            return winner.drop("_layer")
+        tombs = tomb_layers[0]
+        for t in tomb_layers[1:]:
+            tombs = tombs.unionByName(t)
+        max_tomb = tombs.groupBy("doc_id").agg(F.max("_tlayer").alias("_tmax"))
+        return (
+            winner.join(max_tomb, "doc_id", "left")
+            .filter(F.col("_tmax").isNull() | (F.col("_tmax") <= F.col("_layer")))
+            .drop("_layer", "_tmax")
+        )
+
+    def term_df_map(self, terms: list[str]) -> dict[str, int]:
+        """Exact merged df per query term: base dict df + Σ seg (df_new
+        − df_removed). Per-seg reads are tiny pyarrow partition reads."""
+        import pyarrow.dataset as pads
+
+        from vexor_spark.index.storage import term_buckets_for
+
+        out = {t: d for t, (d, _mk) in self.base.term_dict(terms).items()}
+        buckets = sorted(
+            set(term_buckets_for(self.spark, terms, self.base.term_buckets).values())
+        )
+        for s in self.seg_ids:
+            ds = pads.dataset(
+                str(self._seg_dir(s) / "dfdelta"), format="parquet",
+                partitioning="hive",
+            )
+            tbl = ds.to_table(
+                columns=["term", "df_new", "df_removed"],
+                filter=pads.field("term_bucket").isin(buckets)
+                & pads.field("term").isin(terms),
+            )
+            for t, dn, dr in zip(
+                tbl.column("term").to_pylist(),
+                tbl.column("df_new").to_pylist(),
+                tbl.column("df_removed").to_pylist(),
+            ):
+                out[t] = out.get(t, 0) + int(dn) - int(dr)
+        return {t: d for t, d in out.items() if d > 0}
+
+    def _seg_postings(self, terms: list[str]) -> DataFrame | None:
+        """(doc_id, tf, doc_len, term) rows from all segments for the
+        query terms, each layer killed by LATER tombstones only."""
+        from vexor_spark.index.storage import term_buckets_for
+
+        buckets = sorted(
+            set(term_buckets_for(self.spark, terms, self.base.term_buckets).values())
+        )
+        frames = []
+        for s in self.seg_ids:
+            pdir = self._seg_dir(s) / "postings"
+            part_dirs = [
+                str(pdir / f"term_bucket={b}")
+                for b in buckets
+                if (pdir / f"term_bucket={b}").exists()
+            ]
+            if not part_dirs:
+                continue
+            rows = (
+                self.spark.read.option("basePath", str(pdir)).parquet(*part_dirs)
+                .filter(F.col("term").isin(terms))
+                .select("term", "doc_id", "tf", "doc_len")
+            )
+            tombs = self._tombstones_above(s)
+            if tombs is not None:
+                rows = rows.join(tombs, "doc_id", "left_anti")
+            frames.append(rows)
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def search_distributed(self, query: str, k: int = 10) -> DataFrame:
+        """(rank, doc_id, score) over the merged view — exact (equal to
+        a full rebuild of the current corpus, test_delta.py)."""
+        terms = prepare_query_terms(query)
+        spark = self.spark
+        if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:
+            return top_k(spark.createDataFrame([], "doc_id long, score double"), k)
+        df_map = self.term_df_map(terms)
+        present = [t for t in terms if t in df_map]
+        if not present:
+            return top_k(spark.createDataFrame([], "doc_id long, score double"), k)
+        dfdf = spark.createDataFrame(
+            [(t, float(df_map[t])) for t in present], "term string, mdf double"
+        )
+        base_rows = (
+            self.base._matched_blocks(present)
+            .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
+            .select(
+                "term",
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").cast("double").alias("tf"),
+                F.col("p.doc_len").cast("double").alias("doc_len"),
+            )
+        )
+        tombs = self._tombstones_above(0)
+        if tombs is not None:
+            base_rows = base_rows.join(tombs, "doc_id", "left_anti")
+        seg_rows = self._seg_postings(present)
+        rows = base_rows
+        if seg_rows is not None:
+            rows = rows.unionByName(
+                seg_rows.select(
+                    "term", "doc_id",
+                    F.col("tf").cast("double").alias("tf"),
+                    F.col("doc_len").cast("double").alias("doc_len"),
+                )
+            )
+        contrib = bm25_contribution_col(
+            F.col("tf"), F.col("doc_len"), F.col("mdf"),
+            float(self.doc_count), float(self.avg_doc_len),
+        )
+        scored = (
+            rows.join(F.broadcast(dfdf), "term")
+            .withColumn("contribution", contrib)
+            .groupBy("doc_id")
+            .agg(F.sum("contribution").alias("score"))
+        )
+        return top_k(scored, k)
+
+
+def compact_segments(
+    spark: SparkSession,
+    work_dir: str | Path,
+    index_dir: str | Path,
+    *,
+    term_buckets: int | None = None,
+) -> dict:
+    """Fold all segments into the base artifact (full merge over the
+    already-current chunk store) and clear the segment list — the LSM
+    compaction step; run it when read-time layer count or tombstone
+    volume crosses the serving budget."""
+    work_dir, index_dir = Path(work_dir), Path(index_dir)
+    meta = json.loads((index_dir / "meta.json").read_text())
+    tb = term_buckets or int(meta["term_buckets"])
+    manifest = load_manifest(spark, index_dir)
+    n = len(manifest["segments"])
+    summary = full_merge(spark, work_dir, index_dir, term_buckets=tb)
+    shutil.rmtree(index_dir / "segments", ignore_errors=True)
+    _manifest_path(index_dir).unlink(missing_ok=True)
+    summary["action"] = "compact_segments"
+    summary["segments_folded"] = n
+    return summary
