@@ -57,6 +57,41 @@ toks = docs.limit(500).select("doc_id", tokenize_col("text").alias("tokens"))
 out.append(("LSH candidate pairs with max_bucket chunk routing (partitioned window + chunk-key equi-join)",
             plan_of(lsh_candidate_pairs(minhash_signatures(toks), max_bucket=1024))))
 
+# round 4: whole-suite batch serving in one job — shared scan/decode,
+# broadcast (query, term) join, WindowGroupLimit partial+final ranks.
+out.append(("multi-query batch serving (one scan for the union of terms -> one decode per block -> broadcast (query,term) join -> WindowGroupLimit per-query ranks)",
+            plan_of(pidx.search_distributed_multi({"a": "spark merge", "b": "hash index"}, k=10))))
+
+# round 4: hashing-trick tf-idf dense leg — explode to buckets,
+# two-phase (doc,bucket) counts, broadcast idf + query-vector joins.
+from vexor_spark.operators.fusion import hashed_bow_scores
+lbl = docs.select("doc_id", F.col("text").alias("label"))
+out.append(("hashed-BoW tf-idf dense scores (explode buckets -> two-phase counts -> broadcast idf + query joins -> per-doc dot/norm agg)",
+            plan_of(hashed_bow_scores(lbl, "spark merge window"))))
+
+# round 4: segmented (delta) search — base decode anti-joined to
+# tombstones, row-format segment postings unioned in, broadcast merged
+# df map; exact BM25 over the layered view.
+import shutil, tempfile
+from vexor_spark.index.delta import SegmentedIndex, delta_update
+from vexor_spark.index.merge import update_persisted_index
+from vexor_spark.sources.corpus import PAGES_SCHEMA, generate_pages_df, page_record
+dwork = tempfile.mkdtemp(prefix="plans_delta_w")
+didx = tempfile.mkdtemp(prefix="plans_delta_i") + "/idx"
+pages0 = generate_pages_df(spark, 400, edges=False, partitions=4)
+update_persisted_index(pages0, dwork, didx, term_buckets=8)
+mut = pages0.withColumn(
+    "text", F.when(F.col("url").endswith("0007.html") | (F.xxhash64("url") % 20 == 0),
+                   F.concat(F.col("text"), F.lit(" plansedit"))).otherwise(F.col("text"))
+).withColumn(
+    "html", F.encode(F.col("text"), "UTF-8")
+)
+delta_update(mut, dwork, didx)
+seg = SegmentedIndex(spark, didx)
+out.append(("segmented delta search (base blocks decode + tombstone anti-join + row-format segment union + broadcast merged-df join -> agg -> TakeOrdered)",
+            plan_of(seg.search_distributed("spark merge index", k=10))))
+shutil.rmtree(dwork, ignore_errors=True)
+
 with open("/root/repo/PLANS.md", "w") as fh:
     fh.write("""# PLANS — physical-plan audit (`.explain(\"formatted\")`)
 
