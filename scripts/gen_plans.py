@@ -28,8 +28,11 @@ if not os.path.exists(idx_dir + "/meta.json"):
 pidx = PersistedIndex(spark, idx_dir)
 out.append(("persisted-index matched-blocks scan (term_bucket partition pruning + term pushdown)",
             plan_of(pidx._matched_blocks(["spark", "merge"]))))
-out.append(("distributed BM25 over persisted index (decode UDF -> explode -> hash agg -> TakeOrdered)",
-            plan_of(pidx.search_distributed("spark merge index", k=10))))
+# capture the SCORED sub-plan: the final top_k is a bounded
+# TakeOrdered collect + driver numbering, so the returned frame's own
+# plan is just the materialized rows.
+out.append(("distributed BM25 scoring over persisted index (pruned scan -> decode UDF -> explode -> two-phase hash agg; top_k then TakeOrders this)",
+            plan_of(pidx._score_blocks(pidx._matched_blocks(["spark", "merge", "index"])))))
 
 docs = catalog.docs_table(spark, sf).select("doc_id", "text")
 from pyspark.sql import functions as F
@@ -88,8 +91,8 @@ mut = pages0.withColumn(
 )
 delta_update(mut, dwork, didx)
 seg = SegmentedIndex(spark, didx)
-out.append(("segmented delta search (base blocks decode + tombstone anti-join + row-format segment union + broadcast merged-df join -> agg -> TakeOrdered)",
-            plan_of(seg.search_distributed("spark merge index", k=10))))
+out.append(("segmented delta scoring (base blocks decode + tombstone anti-join + row-format segment union + broadcast merged-df join -> agg; top_k then TakeOrders this)",
+            plan_of(seg.scored_rows("spark merge index"))))
 shutil.rmtree(dwork, ignore_errors=True)
 
 with open("/root/repo/PLANS.md", "w") as fh:

@@ -399,14 +399,22 @@ class SegmentedIndex:
     def search_distributed(self, query: str, k: int = 10) -> DataFrame:
         """(rank, doc_id, score) over the merged view — exact (equal to
         a full rebuild of the current corpus, test_delta.py)."""
+        scored = self.scored_rows(query)
+        if scored is None:
+            scored = self.spark.createDataFrame([], "doc_id long, score double")
+        return top_k(scored, k)
+
+    def scored_rows(self, query: str) -> DataFrame | None:
+        """Lazy (doc_id, score) over the layered view (the plan top_k
+        ranks); None when no query term survives the merged df map."""
         terms = prepare_query_terms(query)
         spark = self.spark
         if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:
-            return top_k(spark.createDataFrame([], "doc_id long, score double"), k)
+            return None
         df_map = self.term_df_map(terms)
         present = [t for t in terms if t in df_map]
         if not present:
-            return top_k(spark.createDataFrame([], "doc_id long, score double"), k)
+            return None
         dfdf = spark.createDataFrame(
             [(t, float(df_map[t])) for t in present], "term string, mdf double"
         )
@@ -437,13 +445,12 @@ class SegmentedIndex:
             F.col("tf"), F.col("doc_len"), F.col("mdf"),
             float(self.doc_count), float(self.avg_doc_len),
         )
-        scored = (
+        return (
             rows.join(F.broadcast(dfdf), "term")
             .withColumn("contribution", contrib)
             .groupBy("doc_id")
             .agg(F.sum("contribution").alias("score"))
         )
-        return top_k(scored, k)
 
 
 def compact_segments(
