@@ -1,8 +1,9 @@
 """Retrieval-quality evaluation run (round-2 verdict item 6).
 
-Builds the seeded synthetic corpus at --pages, evaluates the three
-retrieval arms (`off` dense-only, `bm25` legacy weighted rerank,
-`hybrid` RRF fusion) over the committed 30-query suite
+Builds the seeded synthetic corpus at --pages, evaluates all seven
+retrieval arms (`off`/`bm25`/`hybrid` over the letter-count parity
+backend, the same three over the hashed tf-idf backend (`*_hbow`),
+plus `bm25_full`) over the committed 30-query suite
 (sources/corpus.query_suite — the analog of the reference's
 scripts/eval_queries.jsonl), and prints one JSON line. EVAL.md is
 generated from this output.
