@@ -160,3 +160,85 @@ def test_delta_noop_and_fresh_index(spark, tmp_path):
     pi = PersistedIndex(spark, idx)
     docs = spark.read.parquet(str(idx / "docs"))
     assert _scores_by_url(seg, docs, "common") == _scores_by_url(pi, docs, "common")
+
+
+def test_delta_crash_window_resume(spark, tmp_path):
+    """ADVICE r4: stage 1 commits lineage before the segment/manifest
+    exist. Simulate a crash in that window (stage 1 ran, stage 2
+    didn't): the durable pending marker must make the retry finish the
+    segment instead of reporting 'noop' on a silently-stale view."""
+    from vexor_spark.index.checkpoint import build_chunks_resumable
+    from vexor_spark.index.delta import _pending_path
+
+    work, idx = tmp_path / "w3", tmp_path / "i3"
+    update_persisted_index(_df(spark, _corpus()), work, idx, term_buckets=8)
+
+    cur = dict(mutations={3: "freshly minted tokens replacing the old body"})
+    # "crash": stage 1 runs (lineage committed, chunk store current),
+    # stage 2 never does.
+    build_chunks_resumable(
+        _df(spark, _corpus(**cur)), work, pending_file=_pending_path(idx)
+    )
+    assert _pending_path(idx).exists()
+
+    # retry with the SAME snapshot: stage 1 sees zero stale buckets,
+    # but the pending marker resumes the unfinished segment.
+    s = delta_update(_df(spark, _corpus(**cur)), work, idx)
+    assert s["action"] == "delta" and s["seg"] == 1
+    assert not _pending_path(idx).exists()
+
+    seg = SegmentedIndex(spark, idx)
+    view = seg.docs_view()
+    rebuild = tmp_path / "rb3"
+    build_and_write_index(_df(spark, _corpus(**cur)), rebuild, term_buckets=8)
+    rb = PersistedIndex(spark, rebuild)
+    rb_docs = spark.read.parquet(str(rebuild / "docs"))
+    for q in ("freshly minted", "common"):
+        assert _scores_by_url(seg, view, q) == _scores_by_url(rb, rb_docs, q), q
+
+    # leftover marker whose seg already committed (crash after manifest
+    # save, before cleanup) is discarded, not re-applied
+    import json as _json
+
+    _pending_path(idx).write_text(
+        _json.dumps({"changed_buckets": s2_buckets(spark, idx), "seg": 1})
+    )
+    s2 = delta_update(_df(spark, _corpus(**cur)), work, idx)
+    assert s2["action"] == "noop"
+    assert not _pending_path(idx).exists()
+
+
+def s2_buckets(spark, idx):
+    man = load_manifest(spark, Path(idx))
+    return man["segments"][-1]["changed_buckets"]
+
+
+def test_segmented_multi_query_rank_identity(spark, tmp_path):
+    """SegmentedIndex.search_distributed_multi (round-5): one batched
+    job over the layered view, rank-identical to per-query
+    search_distributed with 2 live segments."""
+    work, idx = tmp_path / "w4", tmp_path / "i4"
+    update_persisted_index(_df(spark, _corpus()), work, idx, term_buckets=8)
+    cur = dict(mutations={3: "freshly minted tokens replacing the old body"})
+    delta_update(_df(spark, _corpus(**cur)), work, idx)
+    cur2 = dict(
+        mutations={3: "freshly minted tokens replacing the old body",
+                   5: "second wave of edits with rare tokens"},
+    )
+    delta_update(_df(spark, _corpus(**cur2)), work, idx)
+
+    seg = SegmentedIndex(spark, idx)
+    assert len(seg.seg_ids) == 2
+    queries = {f"q{i}": q for i, q in enumerate(QUERIES + ["zzz nomatch"])}
+    batch = seg.search_distributed_multi(queries, k=10).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query"], []).append(
+            (r["rank"], r["doc_id"], round(float(r["score"]), 6))
+        )
+    for name, q in queries.items():
+        single = [
+            (r["rank"], r["doc_id"], round(float(r["score"]), 6))
+            for r in seg.search_distributed(q, k=10).collect()
+        ]
+        assert sorted(by_q.get(name, [])) == sorted(single), q

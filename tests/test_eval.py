@@ -58,7 +58,7 @@ def test_eval_arm_floors(spark):
     assert metrics["bm25_full"]["mrr@10"] == 1.0
     assert metrics["bm25_full"]["hit@1"] == 1.0
 
-    # Strong deterministic dense leg (256-dim hashing-trick BoW): the
+    # Strong deterministic dense leg (2^16-bucket hashing-trick BoW): the
     # dense-dependent arms must be non-degenerate and ordered — fusion
     # beats rerank beats dense-only, all strictly above the
     # letter-count backend (round-3 verdict item 2; EVAL.md carries

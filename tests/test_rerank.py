@@ -14,6 +14,7 @@ import types
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from vexor_spark.rerank import (
     RemoteRerankConfig,
@@ -285,3 +286,51 @@ def test_remote_env_key_fallback(monkeypatch, small_index):
         transport=transport,
     )
     assert seen["key"] == "env-key"
+
+
+def test_filters_compose_with_rerank_arms(small_index):
+    """ADVICE r4 (medium): url_prefix / exclude_patterns / round_dp
+    must compose with every rerank arm — the reference applies rerank
+    to the already-filtered result list, so the filtered doc set feeds
+    the arms' candidate generation."""
+    prefix = "https://example.org/spark/"
+    for arm, kw in [
+        ("bm25", {}),
+        ("hybrid", {}),
+        ("flashrank", {"ranker": _fake_rank}),
+    ]:
+        rows = small_index.search(
+            "spark merge", k=5, rerank=arm, rerank_kwargs=kw, url_prefix=prefix
+        ).collect()
+        assert rows, arm
+        assert all(r["url"].startswith(prefix) for r in rows), arm
+
+    # exclude_patterns (gitignore grammar over the url's root-relative
+    # path): drop everything under spark/
+    rows = small_index.search(
+        "spark merge", k=5, rerank="bm25", exclude_patterns=["spark/"]
+    ).collect()
+    assert rows
+    assert all(not r["url"].startswith(prefix) for r in rows)
+
+    # round_dp rounds the arm's final scores
+    rows = small_index.search(
+        "spark merge", k=5, rerank="bm25", round_dp=2
+    ).collect()
+    assert all(abs(r["score"] * 100 - round(r["score"] * 100)) < 1e-9 for r in rows)
+
+    # composition matches calling the arm directly on the allowed set
+    from vexor_spark.retrieval import weighted_rerank_search
+
+    allowed = small_index.docs.filter(
+        F.col("url").startswith(prefix)
+    ).select("doc_id")
+    direct = weighted_rerank_search(
+        small_index, "spark merge", 5, allowed=allowed
+    ).collect()
+    via_search = small_index.search(
+        "spark merge", k=5, rerank="bm25", url_prefix=prefix
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_search] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ]

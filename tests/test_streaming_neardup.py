@@ -166,3 +166,31 @@ def test_sigstore_compaction_preserves_results(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_sigstore_compaction_sheds_expired_rows(spark, tmp_path):
+    """ADVICE r4: whole-partition expiry can't shed old rows from a
+    mixed-age partition, and the consolidated partition takes the
+    global max_ts — so compaction itself must filter on the horizon
+    cutoff or the store grows without bound."""
+    work = tmp_path / "nd_shed"
+    b1 = [_unrelated(2, 0), _unrelated(3, 20)]  # mixed ages, one partition
+    b2 = [_unrelated(12, 22)]
+    for i, batch in enumerate([b1, b2], start=1):
+        apply_neardup_batch(
+            spark.createDataFrame(batch, SCHEMA), work,
+            batch_id=i, horizon="15 minutes",
+        )
+    # max_ts = minute 22, cutoff = 7: doc 2 (minute 0) is expired but
+    # its partition survives (partition max_ts = minute 20).
+    manifest = json.loads((work / "neardup_manifest.json").read_text())
+    assert set(manifest["batches"]) == {"1", "2"}
+    assert manifest["horizon_sec"] == 900
+
+    rec = compact_sigstore(spark, work)
+    assert rec["merged"] == 2
+    ds = pa_ds.dataset(
+        str(work / "sigstore"), format="parquet", partitioning="hive"
+    )
+    ids = set(ds.to_table(columns=["doc_id"])["doc_id"].to_pylist())
+    assert ids == {3, 12}, "expired row must be shed on disk, live rows kept"

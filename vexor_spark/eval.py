@@ -22,9 +22,10 @@ ARMS = ("off", "bm25", "hybrid")
 # the inverted index — included so the eval shows what the index
 # itself delivers when the dense leg degrades with corpus size.
 # The `*_hbow` arms rerun the same three orchestrations with the
-# strong deterministic dense leg (256-dim hashing-trick bag-of-words,
-# fusion.hashed_bow_scores) instead of the letter-count test backend —
-# no model or network, but actually discriminative at corpus scale.
+# strong deterministic dense leg (HASHED_BOW_DIM = 2^16-bucket
+# hashing-trick tf-idf bag-of-words, fusion.hashed_bow_scores) instead
+# of the letter-count test backend — no model or network, but actually
+# discriminative at corpus scale.
 HBOW_ARMS = ("off_hbow", "bm25_hbow", "hybrid_hbow")
 ALL_ARMS = ARMS + ("bm25_full",) + HBOW_ARMS
 

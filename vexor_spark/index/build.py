@@ -65,6 +65,25 @@ class InMemoryIndex:
             self._hbow_idf = hashed_bow_idf_map(self.hbow_counts())
         return self._hbow_idf
 
+    def _allowed_docs(
+        self, url_prefix: str | None, exclude_patterns: list[str] | None
+    ) -> DataFrame | None:
+        """doc_id frame surviving the post-hoc filters (superset-index
+        reuse: filters narrow the DOC SET, stats stay full-corpus), or
+        None when no filter applies."""
+        if url_prefix is None and not exclude_patterns:
+            return None
+        kept = self.docs
+        if url_prefix is not None:
+            kept = kept.filter(F.col("url").startswith(url_prefix))
+        if exclude_patterns:
+            from vexor_spark.functions.ignore import excluded_col, url_rel_path_col
+
+            kept = kept.filter(
+                ~excluded_col(url_rel_path_col(F.col("url")), exclude_patterns)
+            )
+        return kept.select("doc_id")
+
     def search(
         self,
         query: str,
@@ -90,9 +109,19 @@ class InMemoryIndex:
         'hybrid' = RRF fusion, 'flashrank' / 'remote' = external
         scorer over the dense candidate clamp (vexor_spark/rerank.py;
         pass ranker/transport/config/dense_backend via rerank_kwargs —
-        import-gated, deterministic fakes in tests)."""
+        import-gated, deterministic fakes in tests).
+
+        Filters COMPOSE with rerank, as in the reference (filters run
+        over the search results first, rerank reorders the filtered
+        list): the allowed doc set is pushed into every arm's candidate
+        generation, and round_dp rounds the arm's final scores (rank
+        order is the arm's own — rounding is display-stable there,
+        unlike the primary path where rounding precedes ranking)."""
+        allowed = self._allowed_docs(url_prefix, exclude_patterns)
         if rerank is not None:
             kw = dict(rerank_kwargs or {})
+            if allowed is not None:
+                kw["allowed"] = allowed
             if rerank == "bm25":
                 from vexor_spark.retrieval import weighted_rerank_search
 
@@ -111,6 +140,8 @@ class InMemoryIndex:
                 ranked = remote_rerank_search(self, query, k, **kw)
             else:
                 raise ValueError(f"unknown rerank arm: {rerank!r}")
+            if round_dp is not None:
+                ranked = ranked.withColumn("score", F.round("score", round_dp))
             meta = self.docs.select(
                 "doc_id", "url", "chunk_index", "preview", "start_line", "end_line"
             )
@@ -123,18 +154,8 @@ class InMemoryIndex:
                 .orderBy("rank")
             )
         scored = score_postings_df(self.postings, query, self.doc_count, self.avg_doc_len)
-        if url_prefix is not None:
-            allowed = self.docs.filter(
-                F.col("url").startswith(url_prefix)
-            ).select("doc_id")
+        if allowed is not None:
             scored = scored.join(allowed, "doc_id", "left_semi")
-        if exclude_patterns:
-            from vexor_spark.functions.ignore import excluded_col, url_rel_path_col
-
-            kept = self.docs.filter(
-                ~excluded_col(url_rel_path_col(F.col("url")), exclude_patterns)
-            ).select("doc_id")
-            scored = scored.join(kept, "doc_id", "left_semi")
         ranked = top_k(scored, k, round_dp=round_dp)
         # Decorate with chunk metadata via broadcast join (reference J6,
         # search_service.py:524-550 — k ≤ 150 so the ranked side is tiny).

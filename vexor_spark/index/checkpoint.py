@@ -100,8 +100,19 @@ def build_chunks_resumable(
     work_dir: str | Path,
     *,
     n_buckets: int = DEFAULT_INPUT_BUCKETS,
+    pending_file: str | Path | None = None,
 ) -> dict:
-    """Stage 1. Returns the metrics record for this build step."""
+    """Stage 1. Returns the metrics record for this build step.
+
+    `pending_file`, when given, is a durable staging marker for stage-2
+    consumers (delta_update / update_index): the changed-bucket set is
+    written there BEFORE the lineage commit, so a crash between the
+    lineage save and the consumer's own commit leaves a record — a
+    retry resumes the unfinished stage-2 work instead of reading the
+    (already-current) chunk store as 'no change' and silently dropping
+    the update. New changed buckets merge into any prior unconsumed
+    pending set; the consumer deletes the file once its artifact is
+    durably committed."""
     work_dir = Path(work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
     spark = pages.sparkSession
@@ -138,6 +149,15 @@ def build_chunks_resumable(
     now = dt.datetime.now(dt.timezone.utc).isoformat()
     for b in stale:
         lineage[b] = {**snap[b], "built_at": now}
+    if pending_file is not None and (stale or removed):
+        pending_file = Path(pending_file)
+        prior: list[int] = []
+        if pending_file.exists():
+            prior = [int(b) for b in json.loads(pending_file.read_text()).get("changed_buckets", [])]
+        pending_file.parent.mkdir(parents=True, exist_ok=True)
+        pending_file.write_text(json.dumps({
+            "changed_buckets": sorted({*prior, *(int(b) for b in stale), *(int(b) for b in removed)}),
+        }, indent=1))
     _save_lineage(work_dir, lineage)
 
     record = {

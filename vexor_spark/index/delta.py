@@ -16,12 +16,17 @@ Layout (under <index_dir>/):
 
     segments.json            manifest: ordered seg ids, per-seg stats,
                              base_len_sum / base_max_doc_id / next_doc_id
+    _pending_update.json     durable staging marker (crash recovery):
+                             changed buckets + target seg id, written
+                             before stage-1's lineage commit and
+                             cleared after the manifest commit
     segments/seg=<n>/
-      postings/              (term, doc_id, tf, doc_len) ROW format,
-                             partitioned by term_bucket — deltas are
-                             small; they take block+varint form only at
-                             compaction (exactly Lucene's in-memory-
-                             segment vs merged-segment split)
+      postings/              block+varint rows — the SAME codec and
+                             layout as the base, partitioned by
+                             term_bucket (round-5: row-format segments
+                             cost 2.5× read p50 at 2 segments; encoding
+                             at write makes a segment just a small
+                             extra block set per bucket)
       docs/                  DOC_COLS rows for docs (re)written by this seg
       tombstones/            doc_id — kills that id in ALL LOWER layers
       dfdelta/               (term, term_bucket, df_new, df_removed)
@@ -80,6 +85,33 @@ def _manifest_path(index_dir: Path) -> Path:
     return index_dir / "segments.json"
 
 
+PENDING_NAME = "_pending_update.json"
+
+
+def _pending_path(index_dir: Path) -> Path:
+    return index_dir / PENDING_NAME
+
+
+def resolve_pending_changes(index_dir: Path, stage1: dict, manifest: dict) -> list[int]:
+    """Changed-bucket list for stage 2 — from the durable pending marker
+    when one is outstanding (crash recovery: stage 1 committed lineage
+    but the segment/manifest write never happened, so a plain retry
+    would see 'no stale buckets' and silently drop the update), else
+    from this run's stage-1 diff. A leftover marker whose segment ID
+    already appears in the manifest is a completed update that crashed
+    before cleanup — it is discarded, not re-applied."""
+    pend = _pending_path(index_dir)
+    pending = json.loads(pend.read_text()) if pend.exists() else None
+    if pending and pending.get("seg") is not None and pending["seg"] in {
+        s["seg"] for s in manifest["segments"]
+    }:
+        pend.unlink(missing_ok=True)
+        pending = None
+    if pending:
+        return sorted(int(b) for b in pending["changed_buckets"])
+    return sorted(list(stage1["stale_buckets"]) + list(stage1["removed_buckets"]))
+
+
 def load_manifest(spark: SparkSession, index_dir: Path) -> dict:
     p = _manifest_path(index_dir)
     if p.exists():
@@ -112,26 +144,51 @@ def delta_update(
 ) -> dict:
     """Apply the pages snapshot as a DELTA SEGMENT: stage-1 staleness
     detection re-chunks only changed input buckets; the segment carries
-    those buckets' current postings (row format), tombstones for the
-    view's previous docs there, and exact df/length corrections.
-    Touches NOTHING under base postings/ or dict/. Cost ∝ changed
-    buckets (tokenize + one small shuffle), not corpus size."""
+    those buckets' current postings (block+varint encoded, same format
+    as the base — segments read like a small base layer), tombstones
+    for the view's previous docs there, and exact df/length
+    corrections. Touches NOTHING under base postings/ or dict/. Cost ∝
+    changed buckets (tokenize + one small shuffle), not corpus size.
+
+    Crash-safe: the changed-bucket set is durably staged (stage 1
+    writes the pending marker before committing lineage; this function
+    clears it only after the manifest commit), so a crash anywhere in
+    between resumes the unfinished segment on retry instead of
+    treating the already-current chunk store as already applied."""
     work_dir, index_dir = Path(work_dir), Path(index_dir)
     spark = pages.sparkSession
     t0 = time.time()
-    meta = json.loads((index_dir / "meta.json").read_text())
-    term_buckets = int(meta["term_buckets"])
-
-    stage1 = build_chunks_resumable(pages, work_dir, n_buckets=n_buckets)
-    changed = sorted(
-        list(stage1["stale_buckets"]) + list(stage1["removed_buckets"])
+    stage1 = build_chunks_resumable(
+        pages, work_dir, n_buckets=n_buckets, pending_file=_pending_path(index_dir)
     )
     manifest = load_manifest(spark, index_dir)
+    changed = resolve_pending_changes(index_dir, stage1, manifest)
     if not changed:
         return {
             "action": "noop", "secs": round(time.time() - t0, 3),
             "segments": len(manifest["segments"]),
         }
+    return _apply_delta(
+        spark, work_dir, index_dir, changed,
+        stage1=stage1, manifest=manifest, n_buckets=n_buckets, t0=t0,
+    )
+
+
+def _apply_delta(
+    spark: SparkSession,
+    work_dir: Path,
+    index_dir: Path,
+    changed: list[int],
+    *,
+    stage1: dict,
+    manifest: dict,
+    n_buckets: int,
+    t0: float,
+) -> dict:
+    """Segment build proper (see delta_update): assumes the chunk store
+    is current and `changed` names the input buckets to re-index."""
+    meta = json.loads((index_dir / "meta.json").read_text())
+    term_buckets = int(meta["term_buckets"])
 
     view = SegmentedIndex(spark, index_dir, manifest=manifest)
     old_changed = (
@@ -187,14 +244,27 @@ def delta_update(
     seg_id = (manifest["segments"][-1]["seg"] + 1) if manifest["segments"] else 1
     seg_dir = index_dir / "segments" / f"seg={seg_id}"
     shutil.rmtree(seg_dir, ignore_errors=True)
+    # Stage intent durably BEFORE the segment files: a crash below
+    # resumes this exact segment; once the manifest commit lands, the
+    # seg id in the marker tells the retry it already applied.
+    _pending_path(index_dir).write_text(json.dumps({
+        "changed_buckets": [int(b) for b in changed], "seg": seg_id,
+    }, indent=1))
 
-    tf_new = term_freqs(seg_docs.select("doc_id", "doc_len", "tokens"))
+    tf_new = term_freqs(seg_docs.select("doc_id", "doc_len", "tokens")).persist()
     tb = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    # Segment postings take the SAME block+varint form as the base
+    # (encoded with the base's ub basis): the read path decodes base
+    # and segment layers uniformly, and the row-format read overhead
+    # that made 2 segments cost 2.5× p50 in round 4 is gone — a
+    # segment is just a small extra set of block rows per term bucket.
+    from vexor_spark.functions.codec import POSTING_BLOCK_SIZE
+    from vexor_spark.index.storage import _sorted_block_rows
+
+    basis = float(meta.get("ub_avg_doc_len", meta.get("avg_doc_len", 1.0)) or 1.0)
+    block_size = int(meta.get("block_size", POSTING_BLOCK_SIZE))
     (
-        tf_new.withColumn("term_bucket", tb)
-        .select("term", "term_bucket", "doc_id", "tf", "doc_len")
-        .repartition("term_bucket")
-        .sortWithinPartitions("term", "doc_id")
+        _sorted_block_rows(tf_new, basis, term_buckets, block_size)
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(str(seg_dir / "postings"))
     )
@@ -223,6 +293,7 @@ def delta_update(
 
     rec = {
         "seg": seg_id,
+        "format": "blocks",
         "n_new": int(stats_new["n"]),
         "n_removed": int(stats_old["n"]),
         "len_new": int(stats_new["ls"]),
@@ -236,7 +307,9 @@ def delta_update(
             int(manifest["next_doc_id"]), int(stats_new["mx"]) + 1
         )
     _save_manifest(index_dir, manifest)
+    _pending_path(index_dir).unlink(missing_ok=True)
 
+    tf_new.unpersist()
     old_changed.unpersist()
     joined.unpersist()
     seg_docs.unpersist()
@@ -363,8 +436,10 @@ class SegmentedIndex:
         return {t: d for t, d in out.items() if d > 0}
 
     def _seg_postings(self, terms: list[str]) -> DataFrame | None:
-        """(doc_id, tf, doc_len, term) rows from all segments for the
-        query terms, each layer killed by LATER tombstones only."""
+        """(term, doc_id, tf, doc_len) rows from all segments for the
+        query terms, each layer killed by LATER tombstones only.
+        Segments store block+varint rows (same codec as the base) —
+        decode per matched block, after bucket-dir + term pruning."""
         from vexor_spark.index.storage import term_buckets_for
 
         buckets = sorted(
@@ -383,7 +458,13 @@ class SegmentedIndex:
             rows = (
                 self.spark.read.option("basePath", str(pdir)).parquet(*part_dirs)
                 .filter(F.col("term").isin(terms))
-                .select("term", "doc_id", "tf", "doc_len")
+                .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
+                .select(
+                    "term",
+                    F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.tf").alias("tf"),
+                    F.col("p.doc_len").alias("doc_len"),
+                )
             )
             tombs = self._tombstones_above(s)
             if tombs is not None:
@@ -395,6 +476,34 @@ class SegmentedIndex:
         for fr in frames[1:]:
             out = out.unionByName(fr)
         return out
+
+    def _layer_rows(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf double, doc_len double) across base +
+        segment layers with each layer's later tombstones applied —
+        the one layered read both query paths share."""
+        base_rows = (
+            self.base._matched_blocks(terms)
+            .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
+            .select(
+                "term",
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").cast("double").alias("tf"),
+                F.col("p.doc_len").cast("double").alias("doc_len"),
+            )
+        )
+        tombs = self._tombstones_above(0)
+        if tombs is not None:
+            base_rows = base_rows.join(tombs, "doc_id", "left_anti")
+        seg_rows = self._seg_postings(terms)
+        if seg_rows is None:
+            return base_rows
+        return base_rows.unionByName(
+            seg_rows.select(
+                "term", "doc_id",
+                F.col("tf").cast("double").alias("tf"),
+                F.col("doc_len").cast("double").alias("doc_len"),
+            )
+        )
 
     def search_distributed(self, query: str, k: int = 10) -> DataFrame:
         """(rank, doc_id, score) over the merged view — exact (equal to
@@ -418,38 +527,69 @@ class SegmentedIndex:
         dfdf = spark.createDataFrame(
             [(t, float(df_map[t])) for t in present], "term string, mdf double"
         )
-        base_rows = (
-            self.base._matched_blocks(present)
-            .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
-            .select(
-                "term",
-                F.col("p.doc_id").alias("doc_id"),
-                F.col("p.tf").cast("double").alias("tf"),
-                F.col("p.doc_len").cast("double").alias("doc_len"),
-            )
-        )
-        tombs = self._tombstones_above(0)
-        if tombs is not None:
-            base_rows = base_rows.join(tombs, "doc_id", "left_anti")
-        seg_rows = self._seg_postings(present)
-        rows = base_rows
-        if seg_rows is not None:
-            rows = rows.unionByName(
-                seg_rows.select(
-                    "term", "doc_id",
-                    F.col("tf").cast("double").alias("tf"),
-                    F.col("doc_len").cast("double").alias("doc_len"),
-                )
-            )
         contrib = bm25_contribution_col(
             F.col("tf"), F.col("doc_len"), F.col("mdf"),
             float(self.doc_count), float(self.avg_doc_len),
         )
         return (
-            rows.join(F.broadcast(dfdf), "term")
+            self._layer_rows(present)
+            .join(F.broadcast(dfdf), "term")
             .withColumn("contribution", contrib)
             .groupBy("doc_id")
             .agg(F.sum("contribution").alias("score"))
+        )
+
+    def search_distributed_multi(
+        self, queries: dict[str, str], k: int = 10
+    ) -> DataFrame:
+        """(query, rank, doc_id, score) for a WHOLE query batch in ONE
+        job over the layered view — PersistedIndex.
+        search_distributed_multi's shape (shared scan, one decode per
+        matched block across ALL queries, broadcast (query, term)
+        replication, WindowGroupLimit-bounded per-query ranks) with the
+        segment layers unioned in and per-term df overridden by the
+        exact merged map. Rank-identical to per-query
+        search_distributed by construction (same rows, same merged
+        stats, same (score desc, doc_id asc) order; pinned in
+        test_delta.py). This is the steady-state serving path under
+        continuous updates — the 4-8× batch amortization no longer
+        requires a freshly-compacted base."""
+        from pyspark.sql import Window
+
+        spark = self.spark
+        empty_schema = "query string, rank long, doc_id long, score double"
+        qterms = {name: prepare_query_terms(q) for name, q in queries.items()}
+        terms_all = sorted({t for ts in qterms.values() for t in ts})
+        if not terms_all or self.doc_count <= 0 or self.avg_doc_len <= 0:
+            return spark.createDataFrame([], empty_schema)
+        df_map = self.term_df_map(terms_all)
+        present = [t for t in terms_all if t in df_map]
+        if not present:
+            return spark.createDataFrame([], empty_schema)
+        qdf = spark.createDataFrame(
+            [(n, t) for n, ts in qterms.items() for t in ts if t in df_map],
+            "query string, term string",
+        )
+        dfdf = spark.createDataFrame(
+            [(t, float(df_map[t])) for t in present], "term string, mdf double"
+        )
+        contrib = bm25_contribution_col(
+            F.col("tf"), F.col("doc_len"), F.col("mdf"),
+            float(self.doc_count), float(self.avg_doc_len),
+        )
+        scored = (
+            self._layer_rows(present)
+            .join(F.broadcast(dfdf), "term")
+            .withColumn("contribution", contrib)
+            .join(F.broadcast(qdf), "term")
+            .groupBy("query", "doc_id")
+            .agg(F.sum("contribution").alias("score"))
+        )
+        w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query", "rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
         )
 
 
@@ -472,6 +612,9 @@ def compact_segments(
     summary = full_merge(spark, work_dir, index_dir, term_buckets=tb)
     shutil.rmtree(index_dir / "segments", ignore_errors=True)
     _manifest_path(index_dir).unlink(missing_ok=True)
+    # a pending marker from a crashed delta is subsumed: the full merge
+    # just re-read the current chunk store, change included.
+    _pending_path(index_dir).unlink(missing_ok=True)
     summary["action"] = "compact_segments"
     summary["segments_folded"] = n
     return summary

@@ -1,0 +1,301 @@
+"""Cost-aware unified index maintenance — ONE entry point that routes
+each update to the cheapest mechanism by its MEASURED shape, plus
+budget-triggered auto-compaction (round-5; closes round-4 weak #3).
+
+Why routing must be measured, not assumed: the reference's policy is a
+single change-RATIO gate (`max_incremental_ratio = 0.5`,
+vexor/services/index_service.py:29, update flow :263-344) — incremental
+below it, rebuild above. The 2M-page campaign (BENCH_R04_SCALE.json)
+falsified that premise for this engine's artifact: under DIFFUSE change
+(every page carries unique tail terms — real webtext does too) the
+in-place merge touched all 64 term buckets and cost 1.32× a full
+rebuild at a 1% change, while delta segments cost 0.13×. The ratio says
+"small change"; the SHAPE says whether in-place can win. So:
+
+    no existing index    → full build
+    nothing changed      → noop            (budget check still runs)
+    change ratio > 0.5   → full rebuild    (the reference's gate — both
+                                            engines agree here)
+    live segments        → delta           (in-place would rewrite the
+                                            base underneath them)
+    concentrated change  → in-place merge  (affected term buckets ≤
+                                            inplace_max_bucket_ratio,
+                                            measured by tokenizing just
+                                            the changed docs — cost ∝
+                                            change, not corpus)
+    diffuse change       → delta segment
+    ordering shift       → delta           (in-place needs stable doc
+                                            ids; delta allocates fresh
+                                            ids and never reuses them)
+
+After every call the compaction budget is checked: more than
+`max_segments` live segments, or tombstones exceeding
+`tombstone_ratio` of the view, triggers `compact_segments` — the LSM
+read-cost bound that round 4 left as a manual step.
+
+Crash safety: all routes share the durable pending marker
+(delta._pending_path / checkpoint.build_chunks_resumable pending_file)
+— stage 1 records the changed-bucket set before committing lineage, so
+a crash between lineage and the route's own commit resumes the work on
+retry instead of reporting noop over a silently-stale index.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexor_spark.functions.codec import POSTING_BLOCK_SIZE
+from vexor_spark.index.checkpoint import (
+    DEFAULT_INPUT_BUCKETS,
+    _append_metrics,
+    _bucket_col,
+    build_chunks_resumable,
+)
+from vexor_spark.index.delta import (
+    _apply_delta,
+    _manifest_path,
+    _pending_path,
+    compact_segments,
+    load_manifest,
+    resolve_pending_changes,
+)
+from vexor_spark.index.merge import (
+    REBUILD_RATIO,
+    _incremental_merge,
+    full_merge,
+)
+from vexor_spark.operators.chunking import with_document
+from vexor_spark.operators.postings import tokenize_docs
+
+# In-place pays a decode+re-encode over every AFFECTED term bucket plus
+# corpus-proportional bookkeeping (id-stability check, doc-table
+# rewrite); delta pays ∝ the change alone but adds a segment layer.
+# Measured at 2M pages: in-place at 64/64 buckets = 1.32× full rebuild,
+# delta = 0.13×. In-place can only win when the change's vocabulary is
+# concentrated in a small fraction of term buckets.
+INPLACE_MAX_BUCKET_RATIO = 0.25
+MAX_SEGMENTS = 4
+TOMBSTONE_RATIO = 0.2
+
+
+def measure_change_shape(
+    spark: SparkSession,
+    work_dir: Path,
+    index_dir: Path,
+    changed: list[int],
+    *,
+    n_buckets: int,
+    term_buckets: int,
+) -> dict:
+    """Affected-term-bucket footprint of a change — the routing signal.
+
+    Affected terms = terms of the changed buckets' OLD docs (their
+    postings must shrink) ∪ terms of their NEW chunks (postings must
+    grow); a term bucket is affected iff it holds any such term. Both
+    sides tokenize only changed-bucket docs, so the measurement costs
+    ∝ the change — it never scans the corpus. (Base-only: callers
+    route to delta before measuring when segments are live.)"""
+    old_docs = (
+        spark.read.parquet(str(index_dir / "docs"))
+        .withColumn("bucket", _bucket_col(F.col("url"), n_buckets))
+        .filter(F.col("bucket").isin([int(b) for b in changed]))
+    )
+    chunks_dir = work_dir / "chunks"
+    present = [b for b in changed if (chunks_dir / f"bucket={b}").exists()]
+    frames = [
+        tokenize_docs(with_document(old_docs), "document")
+        .select(F.explode("tokens").alias("term"))
+    ]
+    if present:
+        new_chunks = (
+            spark.read.option("basePath", str(chunks_dir))
+            .parquet(*[str(chunks_dir / f"bucket={b}") for b in present])
+            .drop("bucket")
+        )
+        frames.append(
+            tokenize_docs(with_document(new_chunks), "document")
+            .select(F.explode("tokens").alias("term"))
+        )
+    terms = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    n_affected = (
+        terms.select(
+            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    return {
+        "affected_term_buckets": int(n_affected),
+        "term_buckets_total": int(term_buckets),
+        "bucket_ratio": (n_affected / term_buckets) if term_buckets else 1.0,
+    }
+
+
+def compaction_due(
+    manifest: dict,
+    *,
+    max_segments: int = MAX_SEGMENTS,
+    tombstone_ratio: float = TOMBSTONE_RATIO,
+) -> str | None:
+    """Reason compaction should run now, or None — the LSM budget:
+    layer count bounds per-query read fan-out, tombstone volume bounds
+    the anti-join work every layered read pays."""
+    segs = manifest["segments"]
+    if len(segs) > max_segments:
+        return f"segments {len(segs)} > {max_segments}"
+    doc_count = manifest["base_doc_count"] + sum(
+        s["n_new"] - s["n_removed"] for s in segs
+    )
+    tombs = sum(s["n_removed"] for s in segs)
+    if doc_count > 0 and tombs / doc_count > tombstone_ratio:
+        return f"tombstones {tombs}/{doc_count} > {tombstone_ratio}"
+    return None
+
+
+def _full_rebuild(
+    spark: SparkSession,
+    work_dir: Path,
+    index_dir: Path,
+    *,
+    term_buckets: int,
+    block_size: int,
+) -> dict:
+    """Full merge over the (already-current) chunk store, clearing any
+    segment layers and the pending marker — the big-change route."""
+    summary = full_merge(
+        spark, work_dir, index_dir, term_buckets=term_buckets, block_size=block_size
+    )
+    shutil.rmtree(index_dir / "segments", ignore_errors=True)
+    _manifest_path(index_dir).unlink(missing_ok=True)
+    _pending_path(index_dir).unlink(missing_ok=True)
+    return summary
+
+
+def update_index(
+    pages: DataFrame,
+    work_dir: str | Path,
+    index_dir: str | Path,
+    *,
+    n_buckets: int = DEFAULT_INPUT_BUCKETS,
+    term_buckets: int = 64,
+    block_size: int = POSTING_BLOCK_SIZE,
+    rebuild_ratio: float = REBUILD_RATIO,
+    inplace_max_bucket_ratio: float = INPLACE_MAX_BUCKET_RATIO,
+    max_segments: int = MAX_SEGMENTS,
+    tombstone_ratio: float = TOMBSTONE_RATIO,
+    auto_compact: bool = True,
+) -> dict:
+    """The unified maintenance entry point (module docstring has the
+    routing table and the measurements behind it). Returns the route's
+    summary dict with `route`, `route_reason`, `shape` (when measured)
+    and `compaction` attached. Query the result via SegmentedIndex —
+    it degrades to the plain base view when no segments are live."""
+    work_dir, index_dir = Path(work_dir), Path(index_dir)
+    spark = pages.sparkSession
+    t0 = time.time()
+    have_index = (index_dir / "meta.json").exists()
+    stage1 = build_chunks_resumable(
+        pages, work_dir, n_buckets=n_buckets,
+        pending_file=_pending_path(index_dir) if have_index else None,
+    )
+    shape: dict | None = None
+    if not have_index:
+        summary = full_merge(
+            spark, work_dir, index_dir,
+            term_buckets=term_buckets, block_size=block_size,
+        )
+        route, reason = "full_build", "no_existing_index"
+    else:
+        meta = json.loads((index_dir / "meta.json").read_text())
+        tb = int(meta["term_buckets"])
+        bs = int(meta.get("block_size", block_size))
+        manifest = load_manifest(spark, index_dir)
+        changed = resolve_pending_changes(index_dir, stage1, manifest)
+        ratio = (
+            len(changed) / stage1["buckets_total"] if stage1["buckets_total"] else 1.0
+        )
+        if not changed:
+            summary = {"action": "noop", "docs": meta["doc_count"], "secs": 0.0}
+            route, reason = "noop", "no_change"
+        elif ratio > rebuild_ratio:
+            summary = _full_rebuild(
+                spark, work_dir, index_dir, term_buckets=tb, block_size=bs
+            )
+            route = "full_rebuild"
+            reason = f"change_ratio {ratio:.2f} > {rebuild_ratio}"
+        elif manifest["segments"]:
+            summary = _apply_delta(
+                spark, work_dir, index_dir, changed,
+                stage1=stage1, manifest=manifest, n_buckets=n_buckets, t0=t0,
+            )
+            route, reason = "delta", "live_segments"
+        else:
+            shape = measure_change_shape(
+                spark, work_dir, index_dir, changed,
+                n_buckets=n_buckets, term_buckets=tb,
+            )
+            if shape["bucket_ratio"] <= inplace_max_bucket_ratio:
+                summary = _incremental_merge(
+                    spark, work_dir, index_dir, changed,
+                    n_buckets=n_buckets, term_buckets=tb, block_size=bs,
+                )
+                if summary is not None:
+                    route = "inplace"
+                    reason = (
+                        f"concentrated: {shape['affected_term_buckets']}/"
+                        f"{tb} term buckets"
+                    )
+                    _pending_path(index_dir).unlink(missing_ok=True)
+                else:
+                    # surviving doc ids moved — in-place needs the dense
+                    # (url, chunk_index) order intact; delta does not.
+                    summary = _apply_delta(
+                        spark, work_dir, index_dir, changed,
+                        stage1=stage1, manifest=manifest,
+                        n_buckets=n_buckets, t0=t0,
+                    )
+                    route, reason = "delta", "ordering_shift"
+            else:
+                summary = _apply_delta(
+                    spark, work_dir, index_dir, changed,
+                    stage1=stage1, manifest=manifest, n_buckets=n_buckets, t0=t0,
+                )
+                route = "delta"
+                reason = (
+                    f"diffuse: {shape['affected_term_buckets']}/{tb} term buckets"
+                )
+
+    summary["route"] = route
+    summary["route_reason"] = reason
+    if shape is not None:
+        summary["shape"] = shape
+    summary["change_ratio"] = round(
+        len(stage1["stale_buckets"] + stage1["removed_buckets"])
+        / stage1["buckets_total"], 4,
+    ) if stage1["buckets_total"] else 1.0
+
+    summary["compaction"] = None
+    if auto_compact and _manifest_path(index_dir).exists():
+        manifest = load_manifest(spark, index_dir)
+        due = compaction_due(
+            manifest, max_segments=max_segments, tombstone_ratio=tombstone_ratio
+        )
+        if due is not None:
+            comp = compact_segments(spark, work_dir, index_dir)
+            comp["trigger"] = due
+            summary["compaction"] = comp
+
+    summary["total_secs"] = round(time.time() - t0, 3)
+    _append_metrics(work_dir, {
+        "stage": "update_index",
+        "at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        **{k: v for k, v in summary.items() if k not in ("stage1",)},
+    })
+    return summary

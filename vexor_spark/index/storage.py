@@ -668,13 +668,18 @@ class PersistedIndex:
         )
 
     def search_distributed(
-        self, query: str, k: int = 10, *, prune: bool = False,
+        self, query: str, k: int = 10, *, prune: bool = True,
         metrics: dict | None = None,
     ) -> DataFrame:
         """(rank, doc_id, score) DataFrame — executor-side decode+score;
-        with prune=True, block-max pruned (exact — see wand.py).
-        `metrics` (with prune) collects the pruning counters — opt-in,
-        costs extra count() actions (wand.pruned_scores docstring)."""
+        with prune=True (the default since round 5), block-max pruned
+        (exact — see wand.py). Pruning is now free when it cannot win:
+        a driver-side dict check skips the θ pass whenever no query
+        term has df ≥ k (wand.pruned_scores), so tail-term queries pay
+        the unpruned price and head-term queries skip decoding most
+        blocks. `metrics` (with prune) collects the pruning counters —
+        opt-in, costs extra count() actions (wand.pruned_scores
+        docstring)."""
         terms = prepare_query_terms(query)
         spark = self.spark
         if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:

@@ -73,8 +73,27 @@ def pruned_scores(
 
     blocks = pidx._matched_blocks(present)
 
-    # --- θ pass: k-th best single-term contribution of the highest-ub term
-    t_star = max(present, key=lambda t: ub[t])
+    # --- driver-side engagement check (round-5): θ is the k-th best
+    # single-term contribution within ONE term's list, so θ > 0 needs a
+    # term with df ≥ k. The term dict is already in hand (tiny pyarrow
+    # read, no Spark job) — when every query term is rarer than k, the
+    # θ pass can only measure 0 and the exactness guard would fall back
+    # to full scoring anyway, so skip straight there and pay nothing.
+    # This was the round-4 finding: uid-anchored queries made
+    # prune=True pure overhead (θ pass + fallback, 0/30 engaged);
+    # with the skip, prune=True costs the unpruned price on those
+    # queries and still collapses decode volume on head-term queries.
+    eligible = [t for t in present if tdict[t][0] >= k]
+    if not eligible:
+        if metrics is not None:
+            metrics["theta"] = 0.0
+            metrics["pruned"] = False
+            metrics["theta_skipped"] = True
+        return pidx._score_blocks(blocks)
+
+    # --- θ pass: k-th best single-term contribution of the highest-ub
+    # term among those able to produce a positive θ (df ≥ k)
+    t_star = max(eligible, key=lambda t: ub[t])
     # bm25_contribution_col already includes idf(df): passing t*'s df
     # yields exactly that term's contribution per posting.
     star_contrib = (

@@ -159,8 +159,13 @@ def hashed_bow_scores(
     if not qvec:
         return docs.select("doc_id", F.lit(0.0).alias("dense_score"))
     if counts is None:
-        # one materialization feeds both the idf agg and the scoring
-        counts = hashed_bow_counts(docs, dim, text_col).localCheckpoint(eager=False)
+        # Ad-hoc call: recompute the histogram plan per consumer rather
+        # than checkpoint it — a checkpoint here would outlive the call
+        # (nothing can unpersist it after the lazy result is returned)
+        # and leak executor storage per query. Suites should pass a
+        # cached `counts`/`idf_map` (InMemoryIndex.hbow_counts/hbow_idf)
+        # so the corpus scan is paid once, not 3× per query.
+        counts = hashed_bow_counts(docs, dim, text_col)
     if idf_map is None:
         idf_map = hashed_bow_idf_map(counts)
     # cosine of the IDF-WEIGHTED vectors: doc component c_b·idf_b,

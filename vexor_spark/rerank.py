@@ -46,18 +46,27 @@ def build_rerank_document(url: str, preview: str | None) -> str:
 
 
 def _clamp_candidates(
-    index: InMemoryIndex, query: str, k: int, dense_backend: str
+    index: InMemoryIndex,
+    query: str,
+    k: int,
+    dense_backend: str,
+    allowed: DataFrame | None = None,
 ) -> list[Candidate]:
+    """`allowed` (doc_id frame) restricts the candidate pool — the
+    reference filters the result list before reranking it, so filters
+    compose with the external arms too."""
     n_cand = resolve_rerank_candidates(k)
+    cand = dense_scores(
+        index.docs,
+        query,
+        dense_backend,
+        hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+        hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
+    )
+    if allowed is not None:
+        cand = cand.join(allowed, "doc_id", "left_semi")
     rows = (
-        dense_scores(
-            index.docs,
-            query,
-            dense_backend,
-            hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
-            hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
-        )
-        .join(index.docs.select("doc_id", "url", "preview"), "doc_id")
+        cand.join(index.docs.select("doc_id", "url", "preview"), "doc_id")
         .orderBy(F.desc("dense_score"), F.asc("doc_id"))
         .limit(n_cand)
         .collect()
@@ -116,6 +125,7 @@ def flashrank_rerank_search(
     *,
     model_name: str | None = None,
     dense_backend: str = "letter",
+    allowed: DataFrame | None = None,
     ranker: Callable[[str, list[dict]], list[dict]] | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — the `rerank=flashrank` arm. `ranker`
@@ -123,7 +133,7 @@ def flashrank_rerank_search(
     `flashrank` package is imported and its Ranker drives the order —
     missing package raises RuntimeError exactly like the reference
     (search_service.py:241-252)."""
-    candidates = _clamp_candidates(index, query, k, dense_backend)
+    candidates = _clamp_candidates(index, query, k, dense_backend, allowed)
     if not candidates:
         return _to_ranked_df(index, [], k)
     passages = [
@@ -297,6 +307,7 @@ def remote_rerank_search(
     *,
     config: RemoteRerankConfig | None = None,
     dense_backend: str = "letter",
+    allowed: DataFrame | None = None,
     transport: Callable[[RemoteRerankConfig, dict], dict] | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — the `rerank=remote` arm. `transport`
@@ -304,7 +315,7 @@ def remote_rerank_search(
     raises RuntimeError like the reference's
     _resolve_remote_rerank_config (search_service.py:283-300)."""
     resolved = resolve_remote_rerank_config(config)
-    candidates = _clamp_candidates(index, query, k, dense_backend)
+    candidates = _clamp_candidates(index, query, k, dense_backend, allowed)
     if not candidates:
         return _to_ranked_df(index, [], k)
     documents = [

@@ -51,8 +51,9 @@ from vexor_spark.operators.scoring import score_postings_df
 # Dense backends: "letter" is the reference's own test embedding
 # (DummyBackend letter counts — kept for parity with
 # tests/integration/test_end_to_end.py:15-30); "hashed_bow" is the
-# deterministic strong leg (256-dim hashing-trick bag-of-words) that
-# keeps the dense-dependent arms meaningful at corpus scale (EVAL.md).
+# deterministic strong leg (HASHED_BOW_DIM = 2^16-bucket hashing-trick
+# tf-idf bag-of-words, fusion.py) that keeps the dense-dependent arms
+# meaningful at corpus scale (EVAL.md).
 DENSE_BACKENDS = ("letter", "hashed_bow")
 
 
@@ -78,11 +79,21 @@ def dense_scores(
 
 
 def hybrid_search(
-    index: InMemoryIndex, query: str, k: int = 10, *, dense_backend: str = "letter"
+    index: InMemoryIndex,
+    query: str,
+    k: int = 10,
+    *,
+    dense_backend: str = "letter",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — RRF fusion of dense + BM25 (bm25.py:92-115,
     top-k by (fused desc, doc_id asc) per search_service.py:176-182).
-    Exact via the bounded-candidate argument in fusion.rrf_candidate_budget."""
+    Exact via the bounded-candidate argument in fusion.rrf_candidate_budget.
+
+    `allowed` (doc_id frame) restricts BOTH legs before fusion — the
+    reference's filter-then-rerank composition: ranks are computed over
+    the filtered corpus (dense leg still ranks every allowed doc, so
+    the candidate-budget proof holds on the filtered corpus)."""
     dense = dense_scores(
         index.docs,
         query,
@@ -91,6 +102,9 @@ def hybrid_search(
         hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
     )
     bm25 = score_postings_df(index.postings, query, index.doc_count, index.avg_doc_len)
+    if allowed is not None:
+        dense = dense.join(allowed, "doc_id", "left_semi")
+        bm25 = bm25.join(allowed, "doc_id", "left_semi")
     fused = rrf_topk(dense, bm25, k)
     return fused.select("rank", "doc_id", F.col("fused").alias("score"))
 
@@ -142,12 +156,18 @@ def _normalize_by_max(scores: list[float]) -> list[float]:
 
 
 def weighted_rerank_search(
-    index: InMemoryIndex, query: str, k: int = 10, *, dense_backend: str = "letter"
+    index: InMemoryIndex,
+    query: str,
+    k: int = 10,
+    *,
+    dense_backend: str = "letter",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — legacy `rerank=bm25` arm: dense candidate
     clamp, BM25L over the candidate micro-corpus, 0.7/0.3 weighted sum of
     max-normalized scores (search_service.py:199-218), stable ties by
-    dense order.
+    dense order. `allowed` restricts the clamp's candidate pool (the
+    reference filters results BEFORE reranking them).
 
     The clamp is a distributed TakeOrderedAndProject (no corpus-wide
     window); the ≤150 candidates are then reranked on the driver exactly
@@ -156,15 +176,17 @@ def weighted_rerank_search(
     spark = index.docs.sparkSession
     schema = "rank long, doc_id long, score double"
     n_cand = resolve_rerank_candidates(k)
+    cand = dense_scores(
+        index.docs,
+        query,
+        dense_backend,
+        hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
+        hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
+    )
+    if allowed is not None:
+        cand = cand.join(allowed, "doc_id", "left_semi")
     cand_rows = (
-        dense_scores(
-            index.docs,
-            query,
-            dense_backend,
-            hbow_counts=index.hbow_counts() if dense_backend == "hashed_bow" else None,
-            hbow_idf=index.hbow_idf() if dense_backend == "hashed_bow" else None,
-        )
-        .join(index.docs.select("doc_id", "url", "preview"), "doc_id")
+        cand.join(index.docs.select("doc_id", "url", "preview"), "doc_id")
         .orderBy(F.desc("dense_score"), F.asc("doc_id"))
         .limit(n_cand)
         .collect()

@@ -170,3 +170,46 @@ def query_suite(n_pages: int, seed: int = 42) -> list[dict]:
         rec = page_record(i, seed)
         queries.append({"query": f"Page uid_{i:06d}", "expected": rec["url"]})
     return queries[:30]
+
+
+# Prunable HEAD-TERM queries (round-5 verdict item 3): every word is
+# drawn from the shared _WORDS vocabulary, so each appears in roughly
+# 2/3 of all pages (df ≈ 0.67·N ≫ k) — the query class real web
+# traffic is made of and the one block-max pruning exists for. The
+# uid-anchored suite above never engages pruning (every query carries
+# a df=1 term whose θ is the only positive one — measured 0/30 at 2M,
+# BENCH_R04_SCALE); these engage it by construction. `expected` is
+# None: they match thousands of pages, so they test latency/pruning,
+# not single-answer ranking.
+_HEAD_QUERIES = (
+    "index posting term",
+    "merge delta block",
+    "search engine ranking",
+    "query token shard",
+    "document ranking score",
+    "shuffle stage task memory",
+    "dense sparse vector lexical",
+    "crawl fetch parse",
+    "partition merge compress varint",
+    "link graph rank fusion",
+)
+
+
+def head_term_queries() -> list[dict]:
+    return [{"query": q, "expected": None, "cls": "head"} for q in _HEAD_QUERIES]
+
+
+def query_suite_extended(n_pages: int, seed: int = 42) -> list[dict]:
+    """The committed serving suite: the 30 uid/phrase/edge queries plus
+    the 10 head-term queries, each tagged with its class (`cls` ∈
+    uid | phrase | edge | head) so benches can report per-class
+    latency and pruning engagement."""
+    base = query_suite(n_pages, seed)
+    for q in base:
+        if q.get("expected") is None:
+            q["cls"] = "edge"
+        elif q["query"].startswith(("uid_", "Page uid_")):
+            q["cls"] = "uid"
+        else:
+            q["cls"] = "phrase"
+    return base + head_term_queries()

@@ -218,6 +218,7 @@ def apply_neardup_batch(
     # manifest update + partition expiry (idempotent on replay)
     manifest["batches"][str(batch_id)] = {"max_ts": batch_max_ts.isoformat()}
     manifest["max_ts"] = max_ts.isoformat()
+    manifest["horizon_sec"] = horizon_sec  # lets compact_sigstore shed expired rows
     expired = [
         bid
         for bid, meta in manifest["batches"].items()
@@ -242,13 +243,21 @@ def apply_neardup_batch(
     return record
 
 
-def compact_sigstore(spark: SparkSession, work_dir: str | Path) -> dict:
-    """Consolidate the per-batch signature-store partitions into ONE
-    (dropping rows already past the last cutoff): amortized store reads
-    stay O(live docs) regardless of micro-batch count. Safe relative to
-    restarts: replaying an already-consolidated batch just rewrites its
-    (now redundant) partition, and `dropDuplicates(doc_id)` on read
-    keeps candidates exact."""
+def compact_sigstore(
+    spark: SparkSession, work_dir: str | Path, *, horizon: str | None = None
+) -> dict:
+    """Consolidate the per-batch signature-store partitions into ONE,
+    dropping rows already past the horizon cutoff (ts < max_ts −
+    horizon): amortized store reads stay O(live docs in horizon)
+    regardless of micro-batch count — on-disk size included, not just
+    the read-time filter. The horizon comes from the manifest (recorded
+    by apply_neardup_batch) unless overridden. Whole-partition expiry
+    can't shed rows from the merged partition (its max_ts is the global
+    max), so shedding HERE is what bounds the consolidated store.
+
+    Safe relative to restarts: replaying an already-consolidated batch
+    just rewrites its (now redundant) partition, and
+    `dropDuplicates(doc_id)` on read keeps candidates exact."""
     work_dir = Path(work_dir)
     store_dir = work_dir / "sigstore"
     manifest = _load_manifest(work_dir)
@@ -256,13 +265,21 @@ def compact_sigstore(spark: SparkSession, work_dir: str | Path) -> dict:
     t0 = time.time()
     if len(parts) <= 1:
         return {"action": "compact_sigstore", "merged": 0, "secs": 0.0}
+    horizon_sec = (
+        _parse_interval_seconds(horizon)
+        if horizon is not None
+        else manifest.get("horizon_sec")
+    )
+    max_ts = max(dt.datetime.fromisoformat(m["max_ts"]) for m in manifest["batches"].values())
     rows = (
         spark.read.option("basePath", str(store_dir))
         .parquet(*[str(store_dir / f"batch_id={b}") for b in parts])
         .select("doc_id", "ts", "band_keys", "sh")
         .dropDuplicates(["doc_id"])
     )
-    max_ts = max(dt.datetime.fromisoformat(m["max_ts"]) for m in manifest["batches"].values())
+    if horizon_sec is not None:
+        cutoff = max_ts - dt.timedelta(seconds=int(horizon_sec))
+        rows = rows.filter(F.col("ts") >= F.lit(cutoff))
     staging = store_dir / "_consolidating"
     rows.write.mode("overwrite").parquet(str(staging))
     for b in parts:
