@@ -176,7 +176,7 @@ def main() -> None:
                 )
                 big = _run_build(
                     f"local[{N_BIG}]", BENCH_PAGES, zpath, tmp / f"n_big_{rnd}",
-                    queries=30 if rnd == BENCH_ROUNDS - 1 else 0,
+                    queries=40 if rnd == BENCH_ROUNDS - 1 else 0,
                     pages_dir=pages_dir,
                 )
                 smalls.append(small)
@@ -222,7 +222,9 @@ def main() -> None:
             result["distributed_query_latency"] = {
                 "median_sec": big.get("dist_query_median_sec"),
                 "p95_sec": big.get("dist_query_p95_sec"),
+                "by_class": big.get("dist_query_by_class"),
             }
+            result["head_pruning"] = big.get("head_pruning")
             result["multiquery"] = {
                 "batch_secs": big.get("multiquery_batch_secs"),
                 "amortization_vs_sequential_pruned": big.get(

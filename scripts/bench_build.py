@@ -92,8 +92,10 @@ def main() -> None:
     }
 
     if args.queries > 0:
+        from vexor_spark.sources.corpus import query_suite_extended
+
         pidx = PersistedIndex(spark, idx_path)
-        suite = query_suite(min(args.pages, 100_000))[: args.queries]
+        suite = query_suite_extended(min(args.pages, 100_000))[: args.queries]
         pidx.search_local("warmup query spark", k=10)  # warm metadata
 
         def run_suite() -> list[float]:
@@ -120,18 +122,49 @@ def main() -> None:
         out["query_p95_sec"] = round(lats[int(len(lats) * 0.95) - 1], 4)
         out["query_mean_sec"] = round(statistics.mean(lats), 4)
 
-        # distributed serving path (block-max pruned) + multi-query
-        # batch amortization: the round-4 headline serving metrics at
-        # sf-bench scale (the 2M-doc numbers live in BENCH_R04_SCALE).
-        pidx.search_distributed(suite[0]["query"], k=10, prune=True).collect()
+        # distributed serving path (block-max pruned — the default) +
+        # multi-query batch amortization. The extended suite carries
+        # per-query classes (uid/phrase/edge/head — head = prunable
+        # common-term queries, round-5 item 3); latency is reported
+        # per class and pruning engagement is counted on the heads.
+        pidx.search_distributed(suite[0]["query"], k=10).collect()
         dist = []
+        by_cls: dict[str, list[float]] = {}
         for q in suite:
             tq = time.time()
-            pidx.search_distributed(q["query"], k=10, prune=True).collect()
-            dist.append(time.time() - tq)
+            pidx.search_distributed(q["query"], k=10).collect()
+            el = time.time() - tq
+            dist.append(el)
+            by_cls.setdefault(q.get("cls", "uid"), []).append(el)
         dist.sort()
         out["dist_query_median_sec"] = round(statistics.median(dist), 4)
         out["dist_query_p95_sec"] = round(dist[int(len(dist) * 0.95) - 1], 4)
+        out["dist_query_by_class"] = {
+            cls: {
+                "n": len(ls),
+                "p50_sec": round(statistics.median(ls), 4),
+                "max_sec": round(max(ls), 4),
+            }
+            for cls, ls in sorted(by_cls.items())
+        }
+        # engagement counters (separate pass — metrics adds count()
+        # actions that must not pollute the timed numbers)
+        engaged, decoded, total = 0, [], []
+        for q in suite:
+            if q.get("cls") != "head":
+                continue
+            m: dict = {}
+            pidx.search_distributed(q["query"], k=10, metrics=m).collect()
+            if m.get("pruned"):
+                engaged += 1
+                decoded.append(m.get("blocks_decoded", 0))
+                total.append(m.get("blocks_total", 0))
+        out["head_pruning"] = {
+            "queries": sum(1 for q in suite if q.get("cls") == "head"),
+            "engaged": engaged,
+            "median_blocks_decoded": int(statistics.median(decoded)) if decoded else None,
+            "median_blocks_total": int(statistics.median(total)) if total else None,
+        }
         seq = sum(dist)
         qmap = {f"q{i:02d}": q["query"] for i, q in enumerate(suite)}
         t0 = time.time()

@@ -27,18 +27,44 @@ ARMS = ("off", "bm25", "hybrid")
 # of the letter-count test backend — no model or network, but actually
 # discriminative at corpus scale.
 HBOW_ARMS = ("off_hbow", "bm25_hbow", "hybrid_hbow")
-ALL_ARMS = ARMS + ("bm25_full",) + HBOW_ARMS
+# `*_ann` arms: the same three orchestrations with the dense leg
+# SERVED THROUGH ANN (retrieval.ann_dense_candidates — IVF over the
+# count-sketch projection, exact hbow cosine on the shortlist) instead
+# of a full per-query histogram scan. Same quality target as the
+# *_hbow arms with sublinear dense-leg latency (round-5 item 6).
+ANN_ARMS = ("off_ann", "bm25_ann", "hybrid_ann")
+ALL_ARMS = ARMS + ("bm25_full",) + HBOW_ARMS + ANN_ARMS
 
 
 def _ranked_urls(index: InMemoryIndex, arm: str, query: str, top: int) -> list[str]:
+    from vexor_spark.plans.topk import take_ranked
+
     if arm == "bm25_full":
         rows = index.search(query, k=top).orderBy("rank").select("url").collect()
+        return [r["url"] for r in rows]
+    if arm.endswith("_ann"):
+        from vexor_spark.retrieval import ann_dense_candidates
+
+        dense = ann_dense_candidates(index, query)
+        base = arm.removesuffix("_ann")
+        if base == "off":
+            ranked = take_ranked(dense, [F.desc("dense_score"), F.asc("doc_id")], top)
+        elif base == "bm25":
+            ranked = weighted_rerank_search(index, query, top, dense_override=dense)
+        elif base == "hybrid":
+            ranked = hybrid_search(index, query, top, dense_override=dense)
+        else:
+            raise ValueError(arm)
+        rows = (
+            ranked.join(index.docs.select("doc_id", "url"), "doc_id")
+            .orderBy("rank")
+            .select("url")
+            .collect()
+        )
         return [r["url"] for r in rows]
     backend = "hashed_bow" if arm.endswith("_hbow") else "letter"
     base = arm.removesuffix("_hbow")
     if base == "off":
-        from vexor_spark.plans.topk import take_ranked
-
         ranked = take_ranked(
             dense_scores(
                 index.docs,

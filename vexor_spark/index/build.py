@@ -44,6 +44,9 @@ class InMemoryIndex:
     term_buckets: int = 64
     _hbow: DataFrame | None = None
     _hbow_idf: dict | None = None
+    _hbow_sketch: DataFrame | None = None
+    _hbow_cents: list | None = None
+    _hbow_cells: DataFrame | None = None
 
     def hbow_counts(self) -> DataFrame:
         """Per-doc hashed-bag-of-words histogram (fusion.
@@ -64,6 +67,55 @@ class InMemoryIndex:
 
             self._hbow_idf = hashed_bow_idf_map(self.hbow_counts())
         return self._hbow_idf
+
+    def hbow_sketch(self) -> DataFrame:
+        """Cached (doc_id, emb) count-sketch projection of the hbow
+        histogram (fusion.hashed_bow_sketch) — the ANN coarse
+        representation; built once per index, persisted."""
+        if self._hbow_sketch is None:
+            from vexor_spark.operators.fusion import hashed_bow_sketch
+
+            self._hbow_sketch = hashed_bow_sketch(
+                self.hbow_counts(), self.hbow_idf()
+            ).persist()
+        return self._hbow_sketch
+
+    def hbow_centroids(self, n_cells: int = 16) -> list:
+        """Cached deterministic k-means IVF centroids over the sketch
+        table (similarity.ivf_kmeans_centroids: 2 fixed Lloyd
+        iterations, each one scan + a ≤n_cells-row collect)."""
+        if self._hbow_cents is None:
+            from vexor_spark.operators.fusion import SKETCH_DIM
+            from vexor_spark.operators.similarity import ivf_kmeans_centroids
+
+            self._hbow_cents = ivf_kmeans_centroids(
+                self.hbow_sketch(), SKETCH_DIM, n_cells=n_cells, vec_col="emb"
+            )
+        return self._hbow_cents
+
+    def hbow_sketch_cells(self, n_cells: int = 16) -> DataFrame:
+        """Cached sketch table WITH its IVF cell assignment (`_cell`) —
+        assignment is per-index work, not per-query; a query probe
+        filters this persisted frame (the persisted-layout analog would
+        partition by cell, like the postings term buckets)."""
+        if self._hbow_cells is None:
+            from vexor_spark.operators.similarity import with_ivf_cell
+
+            self._hbow_cells = with_ivf_cell(
+                self.hbow_sketch(), self.hbow_centroids(n_cells), vec_col="emb"
+            ).persist()
+        return self._hbow_cells
+
+    def release_caches(self) -> None:
+        """Unpersist every lazily-built per-index cache (hbow
+        histogram / sketch / cell assignment) — call alongside
+        docs/postings unpersist when discarding the index."""
+        for df in (self._hbow, self._hbow_sketch, self._hbow_cells):
+            if df is not None:
+                df.unpersist()
+        self._hbow = self._hbow_sketch = self._hbow_cells = None
+        self._hbow_idf = None
+        self._hbow_cents = None
 
     def _allowed_docs(
         self, url_prefix: str | None, exclude_patterns: list[str] | None

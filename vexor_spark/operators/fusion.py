@@ -208,6 +208,89 @@ def hashed_bow_scores(
     )
 
 
+# Count-sketch projection dimensionality for the ANN coarse
+# representation of the hashed-BoW vectors (round-5 verdict item 6):
+# the 2^16-bucket histogram never materializes as a dense vector —
+# each bucket maps to ONE of `SKETCH_DIM` lanes with a ±1 sign
+# (count-sketch / feature hashing), which preserves inner products in
+# expectation, and the ANN stage only needs enough signal to shortlist
+# candidates that the EXACT hbow cosine then reranks.
+SKETCH_DIM = 128
+
+
+def _sketch_lane_col(b: Column, dim: int) -> Column:
+    return F.pmod(
+        F.xxhash64(F.concat(F.lit("d:"), b.cast("string"))), F.lit(dim)
+    ).cast("int")
+
+
+def _sketch_sign_col(b: Column) -> Column:
+    return F.when(
+        F.pmod(F.xxhash64(F.concat(F.lit("s:"), b.cast("string"))), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def hashed_bow_sketch(
+    counts: DataFrame, idf_map: dict[int, float], dim: int = SKETCH_DIM
+) -> DataFrame:
+    """(doc_id, emb array<double>[dim]) — count-sketch of each doc's
+    idf-weighted hashed-BoW vector: emb[lane(b)] += c_b·idf_b·sign(b),
+    lane/sign drawn from xxhash64 of the bucket id (replicated
+    driver-side bit-for-bit by hashed_bow_query_sketch via the pure-
+    Python XXH64). Two doc_id-keyed aggs + one in-row map expansion —
+    no explode beyond the histogram's own rows, no wide literal
+    unrolls (the round-3 janino lesson), all codegen except the final
+    per-row transform."""
+    spark = counts.sparkSession
+    idf_df = spark.createDataFrame(
+        sorted((int(b), float(v)) for b, v in idf_map.items()), "b long, idf double"
+    )
+    weighted = counts.join(F.broadcast(idf_df), "b", "left").select(
+        "doc_id",
+        _sketch_lane_col(F.col("b"), dim).alias("j"),
+        (
+            F.col("c")
+            * F.coalesce(F.col("idf"), F.lit(0.0))
+            * _sketch_sign_col(F.col("b"))
+        ).alias("v"),
+    )
+    per_lane = weighted.groupBy("doc_id", "j").agg(F.sum("v").alias("v"))
+    as_map = per_lane.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "v"))).alias("m")
+    )
+    # try_element_at: missing lane → NULL → 0.0 (plain element_at on a
+    # map THROWS under Spark 4 ANSI mode for absent keys).
+    return as_map.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> coalesce(try_element_at(m, i), cast(0.0 as double)))"
+        ).alias("emb"),
+    )
+
+
+def hashed_bow_query_sketch(
+    query: str,
+    idf_map: dict[int, float],
+    dim: int = SKETCH_DIM,
+    bow_dim: int = HASHED_BOW_DIM,
+) -> list[float]:
+    """Driver-side sketch of the query under the SAME lane/sign hashes
+    as hashed_bow_sketch (pure-Python XXH64 == Spark xxhash64)."""
+    from vexor_spark.functions.hashing import spark_pmod_bucket
+
+    out = [0.0] * dim
+    for b, c in sorted(hashed_bow_query_vec(query, bow_dim).items()):
+        idf = idf_map.get(b, 0.0)
+        if idf == 0.0:
+            continue
+        j = spark_pmod_bucket(f"d:{b}", dim)
+        sign = 1.0 if spark_pmod_bucket(f"s:{b}", 2) == 0 else -1.0
+        out[j] += float(c) * idf * sign
+    return out
+
+
 def rrf_candidate_budget(k: int, w_dense: float = RRF_DENSE_WEIGHT, rrf_k: int = RRF_K) -> int:
     """Smallest per-leg candidate count T that makes bounded RRF exact.
 

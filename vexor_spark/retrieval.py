@@ -78,6 +78,78 @@ def dense_scores(
     )
 
 
+def ann_dense_candidates(
+    index: InMemoryIndex,
+    query: str,
+    n_candidates: int = 200,
+    *,
+    n_probe: int = 4,
+    n_cells: int = 16,
+    lexical_seed: int = 100,
+) -> DataFrame:
+    """(doc_id, dense_score) — the ANN-SERVED hashed-BoW dense leg
+    (round-5 verdict item 6): candidate GENERATION is approximate and
+    multi-source, SCORING is the exact hbow cosine on candidates only.
+
+    Sources:
+    - IVF over the count-sketch projection (probe n_probe of n_cells
+      k-means cells, top n_candidates by sketch cosine). Measured
+      honestly (EVAL.md): on word-soup tf-idf vectors with SHORT
+      keyword queries this leg alone is recall-limited (~55-60% of
+      targets land in the query's top-25% cells at 5k docs; the
+      remainder scatter uniformly — cell assignment is noise when
+      query↔doc cosine is weak, the known failure mode of IVF over
+      near-orthogonal sparse-ish vectors).
+    - A LEXICAL SEED: the inverted index's BM25 top-`lexical_seed`
+      doc ids (0 disables). This is the standard production answer —
+      each retrieval structure proposes candidates, the exact scorer
+      ranks the union — and it restores recall for exactly the
+      keyword-anchored queries IVF loses.
+
+    Per-query dense-leg cost stays candidate-bounded: probe-fraction ×
+    one cached-sketch scan + one postings-pruned BM25 pass + the exact
+    hbow pass over ≤ n_candidates+lexical_seed docs — sublinear vs the
+    full per-query histogram join of hashed_bow_scores (EVAL.md
+    latency table). n_candidates ≥ the rerank clamp (150) and the RRF
+    budget (2T=80), so downstream arms see a full pool.
+
+    Scale shape: the sketch table would be PARTITIONED by cell in a
+    persisted layout (the postings term-bucket trick), so a probe
+    prunes to n_probe partitions; here it is a persisted in-memory
+    frame filtered by `_cell`."""
+    from vexor_spark.operators.fusion import hashed_bow_query_sketch
+    from vexor_spark.operators.similarity import cosine_topk, ivf_query_cells
+
+    spark = index.docs.sparkSession
+    qsk = hashed_bow_query_sketch(query, index.hbow_idf())
+    if not any(qsk):
+        return spark.createDataFrame([], "doc_id long, dense_score double")
+    cents = index.hbow_centroids(n_cells)
+    cells = ivf_query_cells(qsk, cents, n_probe)
+    probed = index.hbow_sketch_cells(n_cells).filter(
+        F.col("_cell").isin([int(c) for c in cells])
+    )
+    cand = cosine_topk(probed, qsk, n_candidates, id_col="doc_id", vec_col="emb")
+    ids = cand.select("doc_id")
+    if lexical_seed > 0:
+        seed = (
+            score_postings_df(
+                index.postings, query, index.doc_count, index.avg_doc_len
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(lexical_seed)
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+        )
+        ids = ids.union(seed).distinct()
+    sub_counts = index.hbow_counts().join(F.broadcast(ids), "doc_id", "left_semi")
+    return hashed_bow_scores(
+        index.docs.join(F.broadcast(ids), "doc_id", "left_semi"),
+        query,
+        counts=sub_counts,
+        idf_map=index.hbow_idf(),
+    )
+
+
 def hybrid_search(
     index: InMemoryIndex,
     query: str,
@@ -85,6 +157,7 @@ def hybrid_search(
     *,
     dense_backend: str = "letter",
     allowed: DataFrame | None = None,
+    dense_override: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — RRF fusion of dense + BM25 (bm25.py:92-115,
     top-k by (fused desc, doc_id asc) per search_service.py:176-182).
@@ -93,8 +166,13 @@ def hybrid_search(
     `allowed` (doc_id frame) restricts BOTH legs before fusion — the
     reference's filter-then-rerank composition: ranks are computed over
     the filtered corpus (dense leg still ranks every allowed doc, so
-    the candidate-budget proof holds on the filtered corpus)."""
-    dense = dense_scores(
+    the candidate-budget proof holds on the filtered corpus).
+
+    `dense_override` substitutes a precomputed (doc_id, dense_score)
+    frame for the backend scan — e.g. ann_dense_candidates; docs
+    outside it simply earn no dense credit (the leg IS the frame, and
+    the budget proof applies to it as given)."""
+    dense = dense_override if dense_override is not None else dense_scores(
         index.docs,
         query,
         dense_backend,
@@ -162,12 +240,15 @@ def weighted_rerank_search(
     *,
     dense_backend: str = "letter",
     allowed: DataFrame | None = None,
+    dense_override: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — legacy `rerank=bm25` arm: dense candidate
     clamp, BM25L over the candidate micro-corpus, 0.7/0.3 weighted sum of
     max-normalized scores (search_service.py:199-218), stable ties by
     dense order. `allowed` restricts the clamp's candidate pool (the
-    reference filters results BEFORE reranking them).
+    reference filters results BEFORE reranking them); `dense_override`
+    substitutes a precomputed (doc_id, dense_score) frame (e.g.
+    ann_dense_candidates) for the backend scan.
 
     The clamp is a distributed TakeOrderedAndProject (no corpus-wide
     window); the ≤150 candidates are then reranked on the driver exactly
@@ -176,7 +257,7 @@ def weighted_rerank_search(
     spark = index.docs.sparkSession
     schema = "rank long, doc_id long, score double"
     n_cand = resolve_rerank_candidates(k)
-    cand = dense_scores(
+    cand = dense_override if dense_override is not None else dense_scores(
         index.docs,
         query,
         dense_backend,
