@@ -412,6 +412,8 @@ def main() -> None:
     ap.add_argument("--skip-routing", action="store_true")
     ap.add_argument("--skip-segcurve", action="store_true")
     ap.add_argument("--skip-neardup", action="store_true")
+    ap.add_argument("--nd-batches", type=int, default=16)
+    ap.add_argument("--nd-docs-per-batch", type=int, default=25_000)
     args = ap.parse_args()
     workroot = Path(args.workroot)
     workroot.mkdir(parents=True, exist_ok=True)
@@ -450,7 +452,10 @@ def main() -> None:
     if not args.skip_segcurve:
         probe_segment_curve(spark, pages_dir, workroot, suite, out)
     if not args.skip_neardup:
-        probe_streaming_neardup(spark, workroot, out)
+        probe_streaming_neardup(
+            spark, workroot, out,
+            batches=args.nd_batches, docs_per_batch=args.nd_docs_per_batch,
+        )
     compute_tco(out)
     out["campaign_secs"] = round(time.time() - t_all, 1)
     _save(out)

@@ -211,3 +211,32 @@ def test_search_distributed_multi_rank_identity(spark, tmp_path):
     # empty batch / no-term queries degrade cleanly
     assert pi.search_distributed_multi({}, k=5).count() == 0
     assert pi.search_distributed_multi({"e": "!!!"}, k=5).count() == 0
+
+
+def test_pruning_driver_side_skips(persisted):
+    """Round-5: the two dict-only engagement checks make prune=True
+    free when it cannot win. (a) all query terms rarer than k → θ pass
+    skipped; (b) balanced multi-term common query → no block can fail
+    the bound for any achievable θ → candidate pass skipped; (c) a
+    single common term engages the real pruning path. All three stay
+    rank-identical to unpruned (covered by test_pruned_scoring_exact
+    plus the identity assertion here)."""
+    idx, _, _ = persisted
+
+    m: dict = {}
+    idx.search_distributed("uid_000017", k=10, prune=True, metrics=m).collect()
+    assert m.get("theta_skipped") is True and m.get("pruned") is False
+
+    m = {}
+    idx.search_distributed(
+        "shuffle stage task memory", k=10, prune=True, metrics=m
+    ).collect()
+    assert m.get("bound_skipped") is True and m.get("pruned") is False
+
+    m = {}
+    a = idx.search_distributed("spark", k=10, prune=True, metrics=m).collect()
+    assert m.get("pruned") is True and m.get("theta", 0) > 0
+    b = idx.search_distributed("spark", k=10, prune=False).collect()
+    assert [(r["rank"], r["doc_id"]) for r in a] == [
+        (r["rank"], r["doc_id"]) for r in b
+    ]

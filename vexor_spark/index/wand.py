@@ -91,6 +91,25 @@ def pruned_scores(
             metrics["theta_skipped"] = True
         return pidx._score_blocks(blocks)
 
+    # --- second driver-side check: can ANY block fail the bound test?
+    # A block of term t is skippable iff idf_t·block_ub·f + rest_ub_t <
+    # θ; since block_ub ≥ 0 and θ ≤ ub_{t*} (θ is a single contribution
+    # from t*'s own list), no block of ANY term can fail when every
+    # rest_ub_t ≥ max eligible ub — the θ/candidate passes would pay 3
+    # extra jobs to prune nothing. This is the round-4 measured shape:
+    # 'spark merge window' (3 common terms) passed 13,680/13,680 blocks
+    # because each term's rest_ub (sum of the other two) exceeded every
+    # achievable θ, while 'spark' (1 term, rest_ub=0) pruned 2908→123
+    # and 'merge hash' (dominated pair) pruned 10,772→10. Pure dict
+    # arithmetic — no Spark job.
+    theta_max = max(ub[t] for t in eligible)
+    if all(total_ub - ub[t] >= theta_max for t in present):
+        if metrics is not None:
+            metrics["theta"] = 0.0
+            metrics["pruned"] = False
+            metrics["bound_skipped"] = True
+        return pidx._score_blocks(blocks)
+
     # --- θ pass: k-th best single-term contribution of the highest-ub
     # term among those able to produce a positive θ (df ≥ k)
     t_star = max(eligible, key=lambda t: ub[t])

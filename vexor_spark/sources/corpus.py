@@ -181,16 +181,22 @@ def query_suite(n_pages: int, seed: int = 42) -> list[dict]:
 # BENCH_R04_SCALE); these engage it by construction. `expected` is
 # None: they match thousands of pages, so they test latency/pruning,
 # not single-answer ranking.
+# Mix of 1/2/3-term shapes: singles and dominated pairs are where
+# block-max pruning can mathematically win (rest_ub < θ); balanced
+# triples are where it provably cannot (every rest_ub ≥ any achievable
+# θ — wand.py's bound-skip fires, measured round 4 on 'spark merge
+# window' passing 13,680/13,680 blocks). The suite carries both so the
+# bench shows engagement AND the free skip.
 _HEAD_QUERIES = (
+    "spark",
+    "index",
+    "merge",
+    "ranking",
+    "merge hash",
+    "posting compress",
     "index posting term",
-    "merge delta block",
     "search engine ranking",
-    "query token shard",
-    "document ranking score",
     "shuffle stage task memory",
-    "dense sparse vector lexical",
-    "crawl fetch parse",
-    "partition merge compress varint",
     "link graph rank fusion",
 )
 
