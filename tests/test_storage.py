@@ -213,14 +213,19 @@ def test_search_distributed_multi_rank_identity(spark, tmp_path):
     assert pi.search_distributed_multi({"e": "!!!"}, k=5).count() == 0
 
 
-def test_pruning_driver_side_skips(persisted):
-    """Round-5: the two dict-only engagement checks make prune=True
-    free when it cannot win. (a) all query terms rarer than k → θ pass
-    skipped; (b) balanced multi-term common query → no block can fail
-    the bound for any achievable θ → candidate pass skipped; (c) a
-    single common term engages the real pruning path. All three stay
-    rank-identical to unpruned (covered by test_pruned_scoring_exact
-    plus the identity assertion here)."""
+def test_pruning_driver_side_skips(persisted, monkeypatch):
+    """Round-5: the driver-side engagement checks make prune=True free
+    when it cannot win, and the θ pass costs no Spark job. (a) all
+    query terms rarer than k → θ skipped; (b) balanced multi-term
+    common query → no block can fail the bound for any achievable θ →
+    skipped; (c) unprunable posting volume above the candidate cap →
+    skipped before paying the candidate pass (cap shrunk via
+    monkeypatch — at 2M this is the anchored-pair shape); (d) a single
+    common term engages: θ comes from ≤2 driver-decoded blocks and the
+    candidate pass drops the list's deep blocks. Engaged path stays
+    rank-identical to unpruned (plus test_pruned_scoring_exact)."""
+    import vexor_spark.index.wand as wand
+
     idx, _, _ = persisted
 
     m: dict = {}
@@ -233,10 +238,20 @@ def test_pruning_driver_side_skips(persisted):
     ).collect()
     assert m.get("bound_skipped") is True and m.get("pruned") is False
 
+    # 'news' is a rare high-ub anchor; 'merge' is in ~80% of docs, and
+    # rest_ub_merge = ub_news ≥ θ makes merge's whole list unfailable.
+    # With the cap shrunk below df(merge), the volume rule must bail
+    # before the candidate pass.
+    monkeypatch.setattr(wand, "MAX_CANDIDATES", 100)
     m = {}
-    a = idx.search_distributed("spark", k=10, prune=True, metrics=m).collect()
-    assert m.get("pruned") is True and m.get("theta", 0) > 0
-    b = idx.search_distributed("spark", k=10, prune=False).collect()
+    idx.search_distributed("news merge", k=10, prune=True, metrics=m).collect()
+    assert m.get("volume_skipped") is True and m.get("pruned") is False, m
+    monkeypatch.setattr(wand, "MAX_CANDIDATES", 200_000)
+
+    m = {}
+    a = idx.search_distributed("merge", k=10, prune=True, metrics=m).collect()
+    assert m.get("pruned") is True and m.get("theta", 0) > 0, m
+    b = idx.search_distributed("merge", k=10, prune=False).collect()
     assert [(r["rank"], r["doc_id"]) for r in a] == [
         (r["rank"], r["doc_id"]) for r in b
     ]

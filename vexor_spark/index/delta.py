@@ -20,17 +20,21 @@ Layout (under <index_dir>/):
                              changed buckets + target seg id, written
                              before stage-1's lineage commit and
                              cleared after the manifest commit
-    segments/seg=<n>/
-      postings/              block+varint rows — the SAME codec and
-                             layout as the base, partitioned by
-                             term_bucket (round-5: row-format segments
-                             cost 2.5× read p50 at 2 segments; encoding
-                             at write makes a segment just a small
-                             extra block set per bucket)
-      docs/                  DOC_COLS rows for docs (re)written by this seg
-      tombstones/            doc_id — kills that id in ALL LOWER layers
-      dfdelta/               (term, term_bucket, df_new, df_removed)
-      seg.json               n_new/n_removed/len_new/len_removed
+    segments/postings/seg=<n>/term_bucket=<b>/
+                             block+varint rows — the SAME codec as the
+                             base (round-5: row-format segments cost
+                             2.5× read p50 at 2 segments)
+    segments/docs/seg=<n>/   DOC_COLS rows for docs (re)written by seg n
+    segments/tombstones/seg=<n>/
+                             doc_id — kills that id in ALL LOWER layers
+    segments/dfdelta/seg=<n>/term_bucket=<b>/
+                             (term, df_new, df_removed)
+
+    Each family is ONE sibling hive tree keyed by `seg`, so the read
+    side is one partition-pruned scan + one max-tombstone-layer join
+    per query — plan size and job count stay O(1) in segment count
+    (per-layer subtrees cost ~0.35 s/segment of p50 at 2M before this
+    layout, round 5).
 
 Semantics:
 - A changed input bucket tombstones every doc the current VIEW holds
@@ -242,8 +246,14 @@ def _apply_delta(
     ).collect()[0]
 
     seg_id = (manifest["segments"][-1]["seg"] + 1) if manifest["segments"] else 1
-    seg_dir = index_dir / "segments" / f"seg={seg_id}"
-    shutil.rmtree(seg_dir, ignore_errors=True)
+    seg_root = index_dir / "segments"
+    # layout: sibling hive trees keyed by seg (segments/postings/seg=N/
+    # term_bucket=B, segments/docs/seg=N, ...) so the READ side is ONE
+    # partition-pruned scan per tree regardless of layer count — plan
+    # size and job count stay O(1) in segments (round-5: per-layer
+    # subtrees made serving p50 grow ~0.35 s per segment at 2M).
+    for sub in ("postings", "docs", "tombstones", "dfdelta"):
+        shutil.rmtree(seg_root / sub / f"seg={seg_id}", ignore_errors=True)
     # Stage intent durably BEFORE the segment files: a crash below
     # resumes this exact segment; once the manifest commit lands, the
     # seg id in the marker tells the retry it already applied.
@@ -266,11 +276,13 @@ def _apply_delta(
     (
         _sorted_block_rows(tf_new, basis, term_buckets, block_size)
         .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(str(seg_dir / "postings"))
+        .parquet(str(seg_root / "postings" / f"seg={seg_id}"))
     )
-    seg_docs.select(*DOC_COLS).write.mode("overwrite").parquet(str(seg_dir / "docs"))
+    seg_docs.select(*DOC_COLS).write.mode("overwrite").parquet(
+        str(seg_root / "docs" / f"seg={seg_id}")
+    )
     old_changed.select("doc_id").write.mode("overwrite").parquet(
-        str(seg_dir / "tombstones")
+        str(seg_root / "tombstones" / f"seg={seg_id}")
     )
     # exact df corrections: +new docs per term, −view docs per term
     df_new = tf_new.groupBy("term").agg(F.count("*").alias("df_new"))
@@ -288,7 +300,7 @@ def _apply_delta(
         )
         .repartition("term_bucket").sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(str(seg_dir / "dfdelta"))
+        .parquet(str(seg_root / "dfdelta" / f"seg={seg_id}"))
     )
 
     rec = {
@@ -300,7 +312,6 @@ def _apply_delta(
         "len_removed": int(stats_old["ls"]),
         "changed_buckets": [int(b) for b in changed],
     }
-    (seg_dir / "seg.json").write_text(json.dumps(rec, indent=1))
     manifest["segments"].append(rec)
     if stats_new["mx"] is not None:
         manifest["next_doc_id"] = max(
@@ -354,77 +365,105 @@ class SegmentedIndex:
         )
         self.avg_doc_len = (len_sum / self.doc_count) if self.doc_count else 0.0
 
-    def _seg_dir(self, seg: int) -> Path:
-        return self.dir / "segments" / f"seg={seg}"
+    def _seg_root(self, sub: str) -> Path:
+        return self.dir / "segments" / sub
 
-    def _tombstones_above(self, layer: int) -> DataFrame | None:
-        """doc_id frame: tombstones of every segment with id > layer."""
-        dirs = [
-            str(self._seg_dir(s) / "tombstones") for s in self.seg_ids if s > layer
-        ]
-        if not dirs:
+    def _seg_read(self, sub: str) -> DataFrame | None:
+        """One hive-partitioned read over segments/<sub>/seg=N/... —
+        the `seg` partition column identifies the layer; filters on it
+        prune directories. None when no live segments / no data.
+        The DataFrame (and with it Spark's file-index listing — ~3k
+        files at 8 segments × 64 buckets) is cached per index instance:
+        listing is paid once at first use, not per query. Reopen the
+        SegmentedIndex after updates, like PersistedIndex."""
+        cache = getattr(self, "_seg_frames", None)
+        if cache is None:
+            cache = self._seg_frames = {}
+        if sub in cache:
+            return cache[sub]
+        root = self._seg_root(sub)
+        if not self.seg_ids or not root.exists():
+            cache[sub] = None
             return None
-        return self.spark.read.parquet(*dirs).select("doc_id").distinct()
+        cache[sub] = (
+            self.spark.read.option("basePath", str(root))
+            .parquet(str(root))
+            .filter(F.col("seg").isin([int(s) for s in self.seg_ids]))
+        )
+        return cache[sub]
+
+    def _tombstone_max(self) -> DataFrame | None:
+        """(doc_id, _tmax) — the HIGHEST layer that tombstoned each
+        doc_id, from one scan of the tombstone tree. A row written at
+        layer L survives iff _tmax is null or _tmax ≤ L (a layer's own
+        re-add outlives its own tombstone; later tombstones kill all
+        lower layers). One join replaces the per-layer anti-joins —
+        plan size stays O(1) in segment count."""
+        if getattr(self, "_tomb_max", "absent") != "absent":
+            return self._tomb_max
+        tombs = self._seg_read("tombstones")
+        if tombs is None:
+            self._tomb_max = None
+            return None
+        out = tombs.groupBy("doc_id").agg(F.max("seg").alias("_tmax"))
+        # manifest knows the exact tombstone volume — broadcast the
+        # aggregated map when it is small (the common steady state), so
+        # the layered read costs a map-side hash join instead of
+        # shuffling the decoded posting rows.
+        if sum(s["n_removed"] for s in self.manifest["segments"]) <= 2_000_000:
+            out = F.broadcast(out)
+        self._tomb_max = out
+        return out
 
     def docs_view(self) -> DataFrame:
         """Current doc table: per doc_id the row from the HIGHEST layer,
         dropped when a later layer tombstoned it."""
         from pyspark.sql import Window
 
-        layers = [
+        allrows = (
             self.spark.read.parquet(str(self.dir / "docs"))
             .select(*DOC_COLS).withColumn("_layer", F.lit(0))
-        ]
-        for s in self.seg_ids:
-            layers.append(
-                self.spark.read.parquet(str(self._seg_dir(s) / "docs"))
-                .select(*DOC_COLS).withColumn("_layer", F.lit(s))
+        )
+        seg_docs = self._seg_read("docs")
+        if seg_docs is not None:
+            allrows = allrows.unionByName(
+                seg_docs.select(*DOC_COLS, F.col("seg").cast("int").alias("_layer"))
             )
-        allrows = layers[0]
-        for l in layers[1:]:
-            allrows = allrows.unionByName(l)
         w = Window.partitionBy("doc_id").orderBy(F.desc("_layer"))
         winner = (
             allrows.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        tomb_layers = [
-            self.spark.read.parquet(str(self._seg_dir(s) / "tombstones"))
-            .select("doc_id").withColumn("_tlayer", F.lit(s))
-            for s in self.seg_ids
-        ]
-        if not tomb_layers:
+        tomb_max = self._tombstone_max()
+        if tomb_max is None:
             return winner.drop("_layer")
-        tombs = tomb_layers[0]
-        for t in tomb_layers[1:]:
-            tombs = tombs.unionByName(t)
-        max_tomb = tombs.groupBy("doc_id").agg(F.max("_tlayer").alias("_tmax"))
         return (
-            winner.join(max_tomb, "doc_id", "left")
+            winner.join(tomb_max, "doc_id", "left")
             .filter(F.col("_tmax").isNull() | (F.col("_tmax") <= F.col("_layer")))
             .drop("_layer", "_tmax")
         )
 
     def term_df_map(self, terms: list[str]) -> dict[str, int]:
         """Exact merged df per query term: base dict df + Σ seg (df_new
-        − df_removed). Per-seg reads are tiny pyarrow partition reads."""
+        − df_removed) — one pyarrow partition-pruned read over the
+        dfdelta tree (sums are order-independent across layers)."""
         import pyarrow.dataset as pads
 
         from vexor_spark.index.storage import term_buckets_for
 
         out = {t: d for t, (d, _mk) in self.base.term_dict(terms).items()}
-        buckets = sorted(
-            set(term_buckets_for(self.spark, terms, self.base.term_buckets).values())
-        )
-        for s in self.seg_ids:
-            ds = pads.dataset(
-                str(self._seg_dir(s) / "dfdelta"), format="parquet",
-                partitioning="hive",
-            )
+        root = self._seg_root("dfdelta")
+        if self.seg_ids and root.exists():
+            ds = pads.dataset(str(root), format="parquet", partitioning="hive")
             tbl = ds.to_table(
                 columns=["term", "df_new", "df_removed"],
-                filter=pads.field("term_bucket").isin(buckets)
+                filter=pads.field("seg").isin([int(s) for s in self.seg_ids])
+                & pads.field("term_bucket").isin(
+                    sorted(set(term_buckets_for(
+                        self.spark, terms, self.base.term_buckets
+                    ).values()))
+                )
                 & pads.field("term").isin(terms),
             )
             for t, dn, dr in zip(
@@ -435,53 +474,14 @@ class SegmentedIndex:
                 out[t] = out.get(t, 0) + int(dn) - int(dr)
         return {t: d for t, d in out.items() if d > 0}
 
-    def _seg_postings(self, terms: list[str]) -> DataFrame | None:
-        """(term, doc_id, tf, doc_len) rows from all segments for the
-        query terms, each layer killed by LATER tombstones only.
-        Segments store block+varint rows (same codec as the base) —
-        decode per matched block, after bucket-dir + term pruning."""
-        from vexor_spark.index.storage import term_buckets_for
-
-        buckets = sorted(
-            set(term_buckets_for(self.spark, terms, self.base.term_buckets).values())
-        )
-        frames = []
-        for s in self.seg_ids:
-            pdir = self._seg_dir(s) / "postings"
-            part_dirs = [
-                str(pdir / f"term_bucket={b}")
-                for b in buckets
-                if (pdir / f"term_bucket={b}").exists()
-            ]
-            if not part_dirs:
-                continue
-            rows = (
-                self.spark.read.option("basePath", str(pdir)).parquet(*part_dirs)
-                .filter(F.col("term").isin(terms))
-                .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
-                .select(
-                    "term",
-                    F.col("p.doc_id").alias("doc_id"),
-                    F.col("p.tf").alias("tf"),
-                    F.col("p.doc_len").alias("doc_len"),
-                )
-            )
-            tombs = self._tombstones_above(s)
-            if tombs is not None:
-                rows = rows.join(tombs, "doc_id", "left_anti")
-            frames.append(rows)
-        if not frames:
-            return None
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
-        return out
-
     def _layer_rows(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf double, doc_len double) across base +
-        segment layers with each layer's later tombstones applied —
-        the one layered read both query paths share."""
-        base_rows = (
+        segment layers with tombstones applied — ONE base scan, ONE
+        hive-partitioned segment scan (bucket + term pruned), ONE
+        tombstone join, regardless of layer count."""
+        from vexor_spark.index.storage import term_buckets_for
+
+        rows = (
             self.base._matched_blocks(terms)
             .select("term", F.explode(decode_postings_udf("blob")).alias("p"))
             .select(
@@ -489,21 +489,38 @@ class SegmentedIndex:
                 F.col("p.doc_id").alias("doc_id"),
                 F.col("p.tf").cast("double").alias("tf"),
                 F.col("p.doc_len").cast("double").alias("doc_len"),
+                F.lit(0).alias("_layer"),
             )
         )
-        tombs = self._tombstones_above(0)
-        if tombs is not None:
-            base_rows = base_rows.join(tombs, "doc_id", "left_anti")
-        seg_rows = self._seg_postings(terms)
-        if seg_rows is None:
-            return base_rows
-        return base_rows.unionByName(
-            seg_rows.select(
-                "term", "doc_id",
-                F.col("tf").cast("double").alias("tf"),
-                F.col("doc_len").cast("double").alias("doc_len"),
+        segs = self._seg_read("postings")
+        if segs is not None:
+            buckets = sorted(
+                set(term_buckets_for(self.spark, terms, self.base.term_buckets).values())
             )
-        )
+            seg_rows = (
+                segs.filter(
+                    F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+                )
+                .select(
+                    "term",
+                    F.explode(decode_postings_udf("blob")).alias("p"),
+                    F.col("seg").cast("int").alias("_layer"),
+                )
+                .select(
+                    "term",
+                    F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.tf").cast("double").alias("tf"),
+                    F.col("p.doc_len").cast("double").alias("doc_len"),
+                    "_layer",
+                )
+            )
+            rows = rows.unionByName(seg_rows)
+        tomb_max = self._tombstone_max()
+        if tomb_max is not None:
+            rows = rows.join(tomb_max, "doc_id", "left").filter(
+                F.col("_tmax").isNull() | (F.col("_tmax") <= F.col("_layer"))
+            ).drop("_tmax")
+        return rows.drop("_layer")
 
     def search_distributed(self, query: str, k: int = 10) -> DataFrame:
         """(rank, doc_id, score) over the merged view — exact (equal to

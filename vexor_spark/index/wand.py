@@ -42,9 +42,57 @@ from vexor_spark.operators.scoring import bm25_contribution_col
 # (collecting a huge candidate set to the driver would be the real cost).
 MAX_CANDIDATES = 200_000
 
+# Engage block-max pruning only when the θ-source term's list is at
+# most this fraction of the query's total posting volume (see the
+# third driver-side check in pruned_scores).
+PRUNE_DF_RATIO = 0.25
+
 
 def _idf(df: int, n: int) -> float:
     return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
+    """EXACT θ (k-th best single contribution of t_star) computed on
+    the driver from the pyarrow block cache: decode blocks in
+    descending block_ub order, stop once the k-th best so far ≥ the
+    next block's upper bound (idf is a common positive factor, so the
+    comparison can use raw kernels). Cost: usually one 128-posting
+    block; never a Spark job."""
+    import numpy as np
+
+    from vexor_spark.constants import BM25_B, BM25_K1
+    from vexor_spark.functions.codec import decode_blocks_np
+
+    by_term, dfs = pidx._term_blocks_cached([t_star])
+    blocks = by_term.get(t_star)
+    if not blocks or df_star < k:
+        return 0.0
+    n, avgdl = pidx.doc_count, pidx.avg_doc_len
+    idf = _idf(df_star, n)
+    # block tuples: (block_id, first, last, block_ub, n, blob)
+    order = sorted(blocks, key=lambda b: -b[3])
+    kernels: list[float] = []
+    kth = -1.0
+    for i, b in enumerate(order):
+        _ids, tfs, dls = decode_blocks_np([b[5]], [b[4]])
+        tfs = tfs.astype(np.float64)
+        kern = tfs * (BM25_K1 + 1.0) / (
+            tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl)
+        )
+        kernels.extend(kern.tolist())
+        if len(kernels) >= k:
+            kth = float(np.partition(np.asarray(kernels), len(kernels) - k)[len(kernels) - k])
+            # remaining blocks are ≤ next stored block_ub (×ub_factor
+            # for avg-doc-len drift since encode) in kernel terms, and
+            # the walk is in descending block_ub order. Stopping earlier
+            # would still be sound: any k decoded contributions give a
+            # valid (just weaker) θ lower bound.
+            if i + 1 >= len(order) or kth >= order[i + 1][3] * pidx.ub_factor:
+                break
+    if kth < 0 and kernels:
+        return 0.0
+    return idf * kth if kth > 0 else 0.0
 
 
 def pruned_scores(
@@ -69,7 +117,16 @@ def pruned_scores(
     # pidx.ub_factor corrects stored max_kernel / block_ub for avg-doc-
     # length drift since encode time (see storage.PersistedIndex).
     ub = {t: _idf(tdict[t][0], n) * tdict[t][1] * pidx.ub_factor for t in present}
-    total_ub = sum(ub.values())
+    # rest_ub as an INDEPENDENT sum per term, inflated by 1 ppb —
+    # `total_ub - ub[t]` cancels: (a+b)-b can land 1 ulp BELOW a, and
+    # when θ ties ub_{t*} exactly (common: the k-th best contribution
+    # often equals the max kernel) that ulp decides whether a whole
+    # term counts as unfailable. Inflation is conservative for
+    # exactness (a too-big rest_ub only lets MORE blocks pass).
+    rest_ub = {
+        t: sum(ub[u] for u in present if u != t) * (1 + 1e-12) + 1e-12
+        for t in present
+    }
 
     blocks = pidx._matched_blocks(present)
 
@@ -103,35 +160,27 @@ def pruned_scores(
     # and 'merge hash' (dominated pair) pruned 10,772→10. Pure dict
     # arithmetic — no Spark job.
     theta_max = max(ub[t] for t in eligible)
-    if all(total_ub - ub[t] >= theta_max for t in present):
+    if all(rest_ub[t] >= theta_max for t in present):
         if metrics is not None:
             metrics["theta"] = 0.0
             metrics["pruned"] = False
             metrics["bound_skipped"] = True
         return pidx._score_blocks(blocks)
 
-    # --- θ pass: k-th best single-term contribution of the highest-ub
-    # term among those able to produce a positive θ (df ≥ k)
+    # --- θ from the driver, not a Spark job (round-5): θ is the k-th
+    # best single-term contribution of t*. Decoding t*'s WHOLE list
+    # executor-side (the round-4 shape) costs as much as unpruned
+    # scoring of that term — for single-term queries that negated every
+    # block the candidate pass later skipped. Instead walk t*'s block
+    # rows (already served by the pyarrow term cache) in DESCENDING
+    # block_ub order, decoding one block at a time until the running
+    # k-th best contribution ≥ the next block's upper bound — at that
+    # point no undecoded posting can raise θ, so θ is EXACT, and
+    # typically ⌈k/block_size⌉ (= 1) blocks were decoded. Any prefix of
+    # this walk already yields a valid lower bound, so the early-out is
+    # safe by construction.
     t_star = max(eligible, key=lambda t: ub[t])
-    # bm25_contribution_col already includes idf(df): passing t*'s df
-    # yields exactly that term's contribution per posting.
-    star_contrib = (
-        blocks.filter(F.col("term") == t_star)
-        .select(F.explode(decode_postings_udf("blob")).alias("p"))
-        .select(
-            bm25_contribution_col(
-                F.col("p.tf").cast("double"),
-                F.col("p.doc_len").cast("double"),
-                F.lit(float(tdict[t_star][0])),
-                float(n),
-                float(avgdl),
-            ).alias("c")
-        )
-        .orderBy(F.desc("c"))
-        .limit(k)
-        .collect()
-    )
-    theta = star_contrib[-1]["c"] if len(star_contrib) >= k else 0.0
+    theta = _theta_driver(pidx, t_star, tdict[t_star][0], k)
     if metrics is not None:
         metrics["theta"] = float(theta)
     if theta <= 0.0:
@@ -139,8 +188,24 @@ def pruned_scores(
             metrics["pruned"] = False
         return pidx._score_blocks(blocks)
 
+    # --- third driver-side check: UNPRUNABLE posting volume. A term t
+    # whose rest_ub_t ≥ θ cannot have ANY block fail the bound test —
+    # its entire list lands in the candidate set. If those terms alone
+    # carry more postings than MAX_CANDIDATES, the candidate pass is
+    # guaranteed to trip the cap and fall back after paying full
+    # decodes — skip straight to unpruned scoring. This is the
+    # anchored-pair shape ('news merge': merge's 1.4M postings are
+    # unfailable because rest_ub_merge = ub_news ≥ θ); measured round 5
+    # at 2M: candidates 200,001 (capped) on every such query before
+    # this check. Dict arithmetic + the already-computed θ; no job.
+    unprunable = sum(tdict[t][0] for t in present if rest_ub[t] >= theta)
+    if unprunable > MAX_CANDIDATES:
+        if metrics is not None:
+            metrics["pruned"] = False
+            metrics["volume_skipped"] = True
+        return pidx._score_blocks(blocks)
+
     # --- candidate pass: docs in blocks whose bound can reach θ
-    rest_ub = {t: total_ub - ub[t] for t in present}
     idf_map = {t: _idf(tdict[t][0], n) for t in present}
     bound_df = spark.createDataFrame(
         [(t, idf_map[t], rest_ub[t]) for t in present],

@@ -181,21 +181,21 @@ def query_suite(n_pages: int, seed: int = 42) -> list[dict]:
 # BENCH_R04_SCALE); these engage it by construction. `expected` is
 # None: they match thousands of pages, so they test latency/pruning,
 # not single-answer ranking.
-# Mix of 1/2/3-term shapes: singles and dominated pairs are where
-# block-max pruning can mathematically win (rest_ub < θ); balanced
-# triples are where it provably cannot (every rest_ub ≥ any achievable
-# θ — wand.py's bound-skip fires, measured round 4 on 'spark merge
-# window' passing 13,680/13,680 blocks). The suite carries both so the
-# bench shows engagement AND the free skip.
+# Mix of shapes exercising every wand.py engagement rule: dominated
+# pairs (rare topic anchor 'news'/'wiki'/'spark' + long common list —
+# the WAND win shape, real block skipping); singles (θ pass would
+# decode the whole list → θ-cost skip); balanced pairs/triples (no
+# block can fail the bound → bound skip). The suite carries all three
+# so benches show engagement AND that the skips are free.
 _HEAD_QUERIES = (
-    "spark",
+    "news merge",
+    "wiki index",
+    "spark ranking",
+    "merge hash",
     "index",
     "merge",
-    "ranking",
-    "merge hash",
     "posting compress",
     "index posting term",
-    "search engine ranking",
     "shuffle stage task memory",
     "link graph rank fusion",
 )
