@@ -91,9 +91,24 @@ mut = pages0.withColumn(
 )
 delta_update(mut, dwork, didx)
 seg = SegmentedIndex(spark, didx)
-out.append(("segmented delta scoring (base blocks decode + tombstone anti-join + row-format segment union + broadcast merged-df join -> agg; top_k then TakeOrders this)",
+out.append(("segmented delta scoring (ONE base scan + ONE hive-partitioned segment-block scan [seg,term_bucket pruned] -> decode -> broadcast max-tombstone-layer join -> broadcast merged-df join -> agg; top_k then TakeOrders this)",
             plan_of(seg.scored_rows("spark merge index"))))
+out.append(("segmented multi-query batch serving (same layered read shared by the whole batch + broadcast (query,term) join + WindowGroupLimit per-query ranks)",
+            plan_of(seg.search_distributed_multi({"q0": "spark merge", "q1": "index posting"}, 10))))
 shutil.rmtree(dwork, ignore_errors=True)
+
+# ANN-served dense leg: the returned frame is the EXACT hbow rerank of
+# the multi-source candidate union (IVF sketch probe + lexical seed);
+# constructing it runs the bounded candidate jobs, the plan below is
+# the exact-scoring tail over the ≤300-row broadcast id set.
+from vexor_spark.index.build import build_index
+from vexor_spark.retrieval import ann_dense_candidates
+from vexor_spark.sources.corpus import generate_pages_df
+small = build_index(generate_pages_df(spark, 400, edges=False, partitions=4),
+                    salt_partitions=2, term_buckets=8)
+out.append(("ANN-served dense leg (exact hbow cosine over broadcast candidate ids; candidates = IVF count-sketch probe ∪ BM25 lexical seed)",
+            plan_of(ann_dense_candidates(small, "merge index posting"))))
+small.docs.unpersist(); small.postings.unpersist(); small.release_caches()
 
 with open("/root/repo/PLANS.md", "w") as fh:
     fh.write("""# PLANS — physical-plan audit (`.explain(\"formatted\")`)
