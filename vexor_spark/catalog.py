@@ -189,6 +189,83 @@ def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BM25_MULTI = _bm25_sql(MULTI_QUERIES, 5, single=False)
 
 
+# Rare high-ub anchor ('dup': df=25 of 500 at sf0.01) + long common
+# list ('join': df=394) — the shape where block-max pruning ENGAGES
+# (wand.py rule walk-through: eligible, not bound-skipped, unprunable
+# volume under the cap) rather than falling back, so the oracle gate
+# certifies the engaged pruned path, not just the skips.
+PRUNED_QUERY = "dup join"
+
+
+def q_bm25_pruned_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 answered through the round-5 DEFAULT serving path:
+    build the persisted block+varint artifact from the documents table,
+    then `PersistedIndex.search_distributed(prune=True)` — block-max
+    pruning with the driver-side θ walk (index/wand.py). Same scoring
+    semantics as q_bm25_top10, so the DuckDB oracle (_bm25_sql) gates
+    the artifact encode → bucket-pruned scan → decode → prune → rescore
+    pipeline end-to-end. Scores round 6dp BEFORE ranking on both sides
+    (the cross-engine determinism contract). The artifact is cached per
+    sf_dir under /tmp (testdata is immutable)."""
+    import hashlib
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from vexor_spark.functions.codec import POSTING_BLOCK_SIZE
+    from vexor_spark.index.storage import (
+        FORMAT_VERSION,
+        PersistedIndex,
+        _sorted_block_rows,
+    )
+
+    idx_dir = Path(tempfile.gettempdir()) / (
+        "vexor_cat_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    if not (idx_dir / "meta.json").exists():
+        tokenized = _tokenized(spark, sf_dir).localCheckpoint(eager=False)
+        stats = tokenized.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("a")
+        ).collect()[0]
+        n, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
+        tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens"))
+        blocks = _sorted_block_rows(
+            tf, avgdl if avgdl > 0 else 1.0, 4, POSTING_BLOCK_SIZE
+        ).persist()
+        blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            str(idx_dir / "postings")
+        )
+        blocks.groupBy("term", "term_bucket").agg(
+            F.first("df").alias("df"), F.max("block_ub").alias("max_kernel")
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+            str(idx_dir / "dict")
+        )
+        blocks.unpersist()
+        tokenized.select("doc_id", "doc_len").write.mode("overwrite").parquet(
+            str(idx_dir / "docs")
+        )
+        (idx_dir / "meta.json").write_text(_json.dumps({
+            "format_version": FORMAT_VERSION,
+            "term_buckets": 4,
+            "block_size": POSTING_BLOCK_SIZE,
+            "doc_count": n,
+            "avg_doc_len": avgdl,
+            "ub_avg_doc_len": avgdl,
+        }))
+    pidx = PersistedIndex(spark, idx_dir)
+    ranked = pidx.search_distributed(
+        PRUNED_QUERY, 10, prune=True, round_dp=SCORE_ROUND_DP
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+SQL_BM25_PRUNED_TOP10 = _bm25_sql({"q": PRUNED_QUERY}, 10, single=True)
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -198,6 +275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
     "bm25_top10": q_bm25_top10,
     "bm25_multi": q_bm25_multi,
+    "bm25_pruned_top10": q_bm25_pruned_top10,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -207,4 +285,5 @@ ORACLE_SQL: dict[str, str] = {
     "term_df": SQL_TERM_DF,
     "bm25_top10": SQL_BM25_TOP10,
     "bm25_multi": SQL_BM25_MULTI,
+    "bm25_pruned_top10": SQL_BM25_PRUNED_TOP10,
 }

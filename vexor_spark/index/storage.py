@@ -669,7 +669,7 @@ class PersistedIndex:
 
     def search_distributed(
         self, query: str, k: int = 10, *, prune: bool = True,
-        metrics: dict | None = None,
+        metrics: dict | None = None, round_dp: int | None = None,
     ) -> DataFrame:
         """(rank, doc_id, score) DataFrame — executor-side decode+score;
         with prune=True (the default since round 5), block-max pruned
@@ -691,7 +691,7 @@ class PersistedIndex:
             scored = pruned_scores(self, terms, k, metrics=metrics)
         else:
             scored = self._score_blocks(self._matched_blocks(terms))
-        return top_k(scored, k)
+        return top_k(scored, k, round_dp=round_dp)
 
     def search_distributed_multi(
         self, queries: dict[str, str], k: int = 10
