@@ -26,6 +26,22 @@ What pruning buys at scale: head (high-df) terms have low idf ⇒ low
 ub ⇒ their tail blocks fail the bound test; their rows are dropped at
 the *block* level (never decoded) unless a candidate lives inside —
 the shuffle/aggregate volume collapses from Σ|postings| to ~|candidates|·|q|.
+
+Round-5 engagement discipline (all pure driver work, measured at 2M —
+BENCH_R05_SCALE.json serving_2M_r05):
+- θ is computed ON THE DRIVER from the pyarrow block cache (descending
+  block_ub walk, exact by the stopping rule, typically one block) — the
+  executor θ pass of round 4 decoded t*'s whole list and negated the
+  win for single-term queries.
+- Three dict-only skip rules route hopeless shapes straight to
+  unpruned scoring: no df ≥ k term (θ would be 0); every rest_ub ≥ any
+  achievable θ (no block can fail — balanced common terms); unfailable
+  terms' posting volume above MAX_CANDIDATES (the candidate pass would
+  cap out and fall back — anchored pairs).
+Net: `prune=True` (the default) costs unpruned-price on unprunable
+query shapes and wins outright on prunable ones — single common terms
+at 2M run 2.8–4.0 s pruned vs 4.4–4.7 s unpruned, decoding 10 of
+10,772 blocks.
 """
 
 from __future__ import annotations
@@ -42,10 +58,6 @@ from vexor_spark.operators.scoring import bm25_contribution_col
 # (collecting a huge candidate set to the driver would be the real cost).
 MAX_CANDIDATES = 200_000
 
-# Engage block-max pruning only when the θ-source term's list is at
-# most this fraction of the query's total posting volume (see the
-# third driver-side check in pruned_scores).
-PRUNE_DF_RATIO = 0.25
 
 
 def _idf(df: int, n: int) -> float:
