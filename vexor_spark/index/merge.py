@@ -307,7 +307,15 @@ def update_persisted_index(
     stage 2 merges postings for affected term buckets only — or falls
     back to the full merge per the change-ratio policy (> rebuild_ratio
     of input buckets changed, reference index_service.py:29) or when
-    the ordering repair shifted surviving doc ids."""
+    the ordering repair shifted surviving doc ids.
+
+    PREFER `index.maintenance.update_index` (round 5): it measures the
+    change's term-bucket footprint and routes diffuse changes to delta
+    segments instead — the 2M campaign measured THIS in-place path at
+    1.3× a full rebuild under diffuse change (every page carries unique
+    tail terms, so all term buckets get touched) while delta costs
+    0.13×. This function remains the concentrated-change mechanism the
+    router dispatches to, and the building block for full rebuilds."""
     work_dir, index_dir = Path(work_dir), Path(index_dir)
     spark = pages.sparkSession
     stage1 = build_chunks_resumable(pages, work_dir, n_buckets=n_buckets)
