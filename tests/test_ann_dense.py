@@ -110,3 +110,18 @@ def test_ann_pure_ivf_vs_seeded(ann_index):
                     hits_seed += 1
     assert hits_seed >= hits_pure
     assert hits_seed >= round(0.9 * n)
+
+
+def test_hbow_cell_caches_keyed_by_n_cells(ann_index):
+    """Round-5 ADVICE: centroids / cell assignments are cached PER
+    n_cells — a second caller with a different cell count must not get
+    the first caller's geometry back."""
+    c4 = ann_index.hbow_centroids(n_cells=4)
+    c8 = ann_index.hbow_centroids(n_cells=8)
+    assert len(c4) == 4 and len(c8) == 8
+    assert ann_index.hbow_centroids(n_cells=4) is c4  # still cached
+    cells4 = ann_index.hbow_sketch_cells(n_cells=4)
+    cells8 = ann_index.hbow_sketch_cells(n_cells=8)
+    assert cells4 is not cells8
+    assert cells4.select(F.max("_cell")).collect()[0][0] <= 3
+    assert ann_index.hbow_sketch_cells(n_cells=4) is cells4

@@ -234,3 +234,19 @@ def test_measure_change_shape_cost_is_change_bound(spark, tmp_path):
     # one doc: ≤ (6 url tokens + old 6 + new 6) distinct terms
     assert shape["affected_term_buckets"] <= 18
     assert shape["bucket_ratio"] <= 0.25
+
+
+def test_noop_reports_live_view_docs(spark, tmp_path):
+    """Round-5 ADVICE: the noop route must report the LIVE view's doc
+    count (base + segment deltas), not the pre-segment base meta."""
+    work, idx = tmp_path / "w_noop", tmp_path / "i_noop"
+    update_index(_df(spark, _corpus()), work, idx, term_buckets=TERM_BUCKETS)
+    cur = _corpus(drop={5})  # removes a page → live count < base count
+    s2 = update_index(_df(spark, cur), work, idx, term_buckets=TERM_BUCKETS)
+    assert s2["route"] in ("delta", "inplace", "full_rebuild")
+    if s2["route"] != "delta":  # the routing test pins shapes; here we
+        return  # only care about the segmented-noop report
+    s3 = update_index(_df(spark, cur), work, idx, term_buckets=TERM_BUCKETS)
+    assert s3["route"] == "noop"
+    live = SegmentedIndex(spark, idx).doc_count
+    assert s3["docs"] == live

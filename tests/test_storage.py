@@ -232,6 +232,10 @@ def test_pruning_driver_side_skips(persisted, monkeypatch):
     idx.search_distributed("uid_000017", k=10, prune=True, metrics=m).collect()
     assert m.get("theta_skipped") is True and m.get("pruned") is False
 
+    # (b)/(c) pin the CLASSIC (walk-θ) skip rules, so the round-6 seed
+    # refinement is disabled for them — with it, both shapes engage
+    # (covered by test_seed_theta_engages_balanced_common below).
+    monkeypatch.setattr(wand, "_theta_seed", lambda *a, **kw: 0.0)
     m = {}
     idx.search_distributed(
         "shuffle stage task memory", k=10, prune=True, metrics=m
@@ -247,6 +251,7 @@ def test_pruning_driver_side_skips(persisted, monkeypatch):
     idx.search_distributed("news merge", k=10, prune=True, metrics=m).collect()
     assert m.get("volume_skipped") is True and m.get("pruned") is False, m
     monkeypatch.setattr(wand, "MAX_CANDIDATES", 200_000)
+    monkeypatch.undo()
 
     m = {}
     a = idx.search_distributed("merge", k=10, prune=True, metrics=m).collect()
@@ -255,3 +260,63 @@ def test_pruning_driver_side_skips(persisted, monkeypatch):
     assert [(r["rank"], r["doc_id"]) for r in a] == [
         (r["rank"], r["doc_id"]) for r in b
     ]
+
+
+def test_seed_theta_engages_balanced_common(persisted):
+    """Round-6 (verdict item 7): the seed-refined θ — exact driver-side
+    totals of a seed pool — separates the balanced-common shape where
+    the single-contribution walk provably cannot (every rest_ub ≥ any
+    walk θ). The query must ENGAGE with θ from the seed pass, stay
+    rank-identical to unpruned, and the seed θ must dominate the walk
+    θ whenever both exist (totals ≥ single contributions)."""
+    idx, _, _ = persisted
+
+    m: dict = {}
+    a = idx.search_distributed(
+        "shuffle stage task memory", k=10, prune=True, metrics=m
+    ).collect()
+    assert m.get("pruned") is True, m
+    assert m.get("theta_seed", 0.0) > 0.0 and m.get("theta_walk") == 0.0, m
+    b = idx.search_distributed("shuffle stage task memory", k=10, prune=False).collect()
+    assert [(r["rank"], r["doc_id"], round(float(r["score"]), 9)) for r in a] == [
+        (r["rank"], r["doc_id"], round(float(r["score"]), 9)) for r in b
+    ]
+
+    # anchored pair: walk θ engages already; the seed pass can only
+    # raise θ (exact totals dominate single contributions), never lower
+    # the decode set's exactness — ranks stay identical.
+    m = {}
+    a = idx.search_distributed("news merge", k=10, prune=True, metrics=m).collect()
+    assert m.get("pruned") is True, m
+    assert m.get("theta_seed", 0.0) >= m.get("theta_walk", 0.0), m
+    b = idx.search_distributed("news merge", k=10, prune=False).collect()
+    assert [(r["rank"], r["doc_id"]) for r in a] == [
+        (r["rank"], r["doc_id"]) for r in b
+    ]
+
+
+def test_multi_pruned_rank_identity(persisted):
+    """Round-6: pruning inside the batch path (wand.pruned_multi) —
+    per-query results identical to the unpruned shared scan, for a mix
+    of prunable and skip-rule query shapes."""
+    idx, _, _ = persisted
+    queries = {
+        "single": "hash",                       # prunable single term
+        "pair": "spark merge",                  # dominated/balanced pair
+        "uid": "uid_000017",                    # θ-skip shape (df < k)
+        "balanced": "shuffle stage task memory",  # bound-skip shape
+    }
+    m = {}
+    got = {
+        (r["query"], r["rank"]): (r["doc_id"], round(float(r["score"]), 9))
+        for r in idx.search_distributed_multi(
+            queries, k=10, prune=True, metrics=m
+        ).collect()
+    }
+    want = {
+        (r["query"], r["rank"]): (r["doc_id"], round(float(r["score"]), 9))
+        for r in idx.search_distributed_multi(queries, k=10, prune=False).collect()
+    }
+    assert got == want
+    assert m.get("multi_pruned_queries", 0) >= 1, m
+    assert m["blocks_decoded"] <= m["blocks_total"], m

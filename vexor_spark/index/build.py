@@ -17,7 +17,7 @@ answers BM25 top-k queries. Persistence lives in index/storage.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,8 +45,10 @@ class InMemoryIndex:
     _hbow: DataFrame | None = None
     _hbow_idf: dict | None = None
     _hbow_sketch: DataFrame | None = None
-    _hbow_cents: list | None = None
-    _hbow_cells: DataFrame | None = None
+    # keyed by n_cells — two callers asking for different cell counts
+    # must not share centroids/assignments (round-5 ADVICE).
+    _hbow_cents: dict = field(default_factory=dict)
+    _hbow_cells: dict = field(default_factory=dict)
 
     def hbow_counts(self) -> DataFrame:
         """Per-doc hashed-bag-of-words histogram (fusion.
@@ -84,38 +86,39 @@ class InMemoryIndex:
         """Cached deterministic k-means IVF centroids over the sketch
         table (similarity.ivf_kmeans_centroids: 2 fixed Lloyd
         iterations, each one scan + a ≤n_cells-row collect)."""
-        if self._hbow_cents is None:
+        if n_cells not in self._hbow_cents:
             from vexor_spark.operators.fusion import SKETCH_DIM
             from vexor_spark.operators.similarity import ivf_kmeans_centroids
 
-            self._hbow_cents = ivf_kmeans_centroids(
+            self._hbow_cents[n_cells] = ivf_kmeans_centroids(
                 self.hbow_sketch(), SKETCH_DIM, n_cells=n_cells, vec_col="emb"
             )
-        return self._hbow_cents
+        return self._hbow_cents[n_cells]
 
     def hbow_sketch_cells(self, n_cells: int = 16) -> DataFrame:
         """Cached sketch table WITH its IVF cell assignment (`_cell`) —
         assignment is per-index work, not per-query; a query probe
         filters this persisted frame (the persisted-layout analog would
         partition by cell, like the postings term buckets)."""
-        if self._hbow_cells is None:
+        if n_cells not in self._hbow_cells:
             from vexor_spark.operators.similarity import with_ivf_cell
 
-            self._hbow_cells = with_ivf_cell(
+            self._hbow_cells[n_cells] = with_ivf_cell(
                 self.hbow_sketch(), self.hbow_centroids(n_cells), vec_col="emb"
             ).persist()
-        return self._hbow_cells
+        return self._hbow_cells[n_cells]
 
     def release_caches(self) -> None:
         """Unpersist every lazily-built per-index cache (hbow
         histogram / sketch / cell assignment) — call alongside
         docs/postings unpersist when discarding the index."""
-        for df in (self._hbow, self._hbow_sketch, self._hbow_cells):
+        for df in (self._hbow, self._hbow_sketch, *self._hbow_cells.values()):
             if df is not None:
                 df.unpersist()
-        self._hbow = self._hbow_sketch = self._hbow_cells = None
+        self._hbow = self._hbow_sketch = None
         self._hbow_idf = None
-        self._hbow_cents = None
+        self._hbow_cents = {}
+        self._hbow_cells = {}
 
     def _allowed_docs(
         self, url_prefix: str | None, exclude_patterns: list[str] | None

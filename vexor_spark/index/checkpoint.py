@@ -153,7 +153,22 @@ def build_chunks_resumable(
         pending_file = Path(pending_file)
         prior: list[int] = []
         if pending_file.exists():
-            prior = [int(b) for b in json.loads(pending_file.read_text()).get("changed_buckets", [])]
+            prev = json.loads(pending_file.read_text())
+            # a marker whose segment id already appears in segments.json
+            # is a COMPLETED update that crashed before cleanup — merging
+            # its buckets into this run's marker would drop the seg key
+            # and re-apply them (redundant tombstones + inflated router
+            # change set, round-5 ADVICE). Discard it instead.
+            applied = False
+            if prev.get("seg") is not None:
+                seg_manifest = pending_file.parent / "segments.json"
+                if seg_manifest.exists():
+                    applied = prev["seg"] in {
+                        s["seg"]
+                        for s in json.loads(seg_manifest.read_text()).get("segments", [])
+                    }
+            if not applied:
+                prior = [int(b) for b in prev.get("changed_buckets", [])]
         pending_file.parent.mkdir(parents=True, exist_ok=True)
         pending_file.write_text(json.dumps({
             "changed_buckets": sorted({*prior, *(int(b) for b in stale), *(int(b) for b in removed)}),

@@ -59,7 +59,8 @@ from vexor_spark.index.checkpoint import (
     build_chunks_resumable,
 )
 from vexor_spark.index.delta import (
-    _apply_delta,
+    _apply_delta_retrying,
+    _clear_generation_locks,
     _manifest_path,
     _pending_path,
     compact_segments,
@@ -174,6 +175,7 @@ def _full_rebuild(
     )
     shutil.rmtree(index_dir / "segments", ignore_errors=True)
     _manifest_path(index_dir).unlink(missing_ok=True)
+    _clear_generation_locks(index_dir)
     _pending_path(index_dir).unlink(missing_ok=True)
     return summary
 
@@ -222,7 +224,13 @@ def update_index(
             len(changed) / stage1["buckets_total"] if stage1["buckets_total"] else 1.0
         )
         if not changed:
-            summary = {"action": "noop", "docs": meta["doc_count"], "secs": 0.0}
+            # report the LIVE view's doc count — base meta alone
+            # understates it when delta segments are stacked on top
+            # (round-5 ADVICE: metrics consumers saw pre-segment counts)
+            live_docs = manifest["base_doc_count"] + sum(
+                s["n_new"] - s["n_removed"] for s in manifest["segments"]
+            ) if manifest["segments"] else meta["doc_count"]
+            summary = {"action": "noop", "docs": live_docs, "secs": 0.0}
             route, reason = "noop", "no_change"
         elif ratio > rebuild_ratio:
             summary = _full_rebuild(
@@ -231,7 +239,7 @@ def update_index(
             route = "full_rebuild"
             reason = f"change_ratio {ratio:.2f} > {rebuild_ratio}"
         elif manifest["segments"]:
-            summary = _apply_delta(
+            summary = _apply_delta_retrying(
                 spark, work_dir, index_dir, changed,
                 stage1=stage1, manifest=manifest, n_buckets=n_buckets, t0=t0,
             )
@@ -256,14 +264,14 @@ def update_index(
                 else:
                     # surviving doc ids moved — in-place needs the dense
                     # (url, chunk_index) order intact; delta does not.
-                    summary = _apply_delta(
+                    summary = _apply_delta_retrying(
                         spark, work_dir, index_dir, changed,
                         stage1=stage1, manifest=manifest,
                         n_buckets=n_buckets, t0=t0,
                     )
                     route, reason = "delta", "ordering_shift"
             else:
-                summary = _apply_delta(
+                summary = _apply_delta_retrying(
                     spark, work_dir, index_dir, changed,
                     stage1=stage1, manifest=manifest, n_buckets=n_buckets, t0=t0,
                 )

@@ -367,11 +367,21 @@ class PersistedIndex:
 
     def _matched_blocks(self, terms: list[str]) -> DataFrame:
         """Block rows for the query terms — bucket partition pruning +
-        row-group term stats do the seeking."""
+        row-group term stats do the seeking. `_layer` = 0 marks the
+        base layer: the pruning machinery (wand.py) is shared with
+        SegmentedIndex, whose block frame unions segment layers in, so
+        (term, _layer, block_id) is the cross-index block key."""
         buckets = sorted(set(term_buckets_for(self.spark, terms, self.term_buckets).values()))
         return self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        ).withColumn("_layer", F.lit(0))
+
+    def _term_blocks_for_theta(self, t_star: str):
+        """(block rows of t_star, excluded-doc-id array or None) for the
+        driver-side θ walk (wand._theta_driver). The base index has no
+        tombstones, so nothing is excluded."""
+        by_term, _dfs = self._term_blocks_cached([t_star])
+        return by_term.get(t_star) or [], None
 
     def _dataset(self, subdir: str):
         """pyarrow dataset handle, opened once per subdir — directory
@@ -646,17 +656,32 @@ class PersistedIndex:
         uniq = np.flatnonzero(seen)
         return uniq, acc[uniq]
 
-    def _score_blocks(self, blocks: DataFrame) -> DataFrame:
-        """blocks (term, df, blob, ...) → (doc_id, score)."""
-        exploded = blocks.select(
+    def _exploded_rows(self, blocks: DataFrame) -> DataFrame:
+        """blocks → (term, df, doc_id, tf, doc_len) posting rows — the
+        decode step shared by single-query scoring and the batch path
+        (SegmentedIndex overrides this with its tombstone-filtered
+        decode; wand.pruned_multi scores whatever frame it returns)."""
+        return blocks.select(
+            "term",
             F.col("df").cast("double").alias("df"),
             F.explode(decode_postings_udf("blob")).alias("p"),
         ).select(
+            "term", "df",
             F.col("p.doc_id").alias("doc_id"),
             F.col("p.tf").cast("double").alias("tf"),
             F.col("p.doc_len").cast("double").alias("doc_len"),
-            "df",
         )
+
+    def _score_blocks(
+        self, blocks: DataFrame, candidates: DataFrame | None = None
+    ) -> DataFrame:
+        """blocks (term, df, blob, ...) → (doc_id, score). `candidates`
+        (doc_id), when given, restricts the aggregation to those docs
+        via a broadcast semi-join BEFORE the shuffle (the pruned
+        rescore, wand.py step 3)."""
+        exploded = self._exploded_rows(blocks)
+        if candidates is not None:
+            exploded = exploded.join(F.broadcast(candidates), "doc_id", "left_semi")
         contrib = bm25_contribution_col(
             F.col("tf"), F.col("doc_len"), F.col("df"),
             float(self.doc_count), float(self.avg_doc_len),
@@ -688,13 +713,17 @@ class PersistedIndex:
         if prune:
             from vexor_spark.index.wand import pruned_scores
 
-            scored = pruned_scores(self, terms, k, metrics=metrics)
+            # rounded ranking needs a θ slack so boundary docs that
+            # round into a k-th-place tie are retained (wand.pruned_scores)
+            slack = 1.5 * 10.0 ** (-round_dp) if round_dp is not None else 0.0
+            scored = pruned_scores(self, terms, k, metrics=metrics, theta_slack=slack)
         else:
             scored = self._score_blocks(self._matched_blocks(terms))
         return top_k(scored, k, round_dp=round_dp)
 
     def search_distributed_multi(
-        self, queries: dict[str, str], k: int = 10
+        self, queries: dict[str, str], k: int = 10, *,
+        prune: bool = True, metrics: dict | None = None,
     ) -> DataFrame:
         """(query, rank, doc_id, score) for a WHOLE query batch in ONE
         distributed job — the bm25_topk_multi pattern applied to the
@@ -710,6 +739,12 @@ class PersistedIndex:
         the final sort). Amortization vs sequential search_distributed
         calls = shared scan + shared decode + one job's fixed overhead
         for the whole suite (measured in BENCH_r04).
+
+        With prune=True (round-6), per-query block-max thresholds trim
+        the shared scan's decode set (wand.pruned_multi): a block is
+        decoded only if SOME query still needs it, with the usual
+        guaranteed fallback when no query is prunable — so head-term
+        queries in the batch stop forcing full decodes of their lists.
 
         Rank-identical to per-query search_distributed by construction:
         same blocks, same contributions, same (score desc, doc_id asc)
@@ -727,17 +762,13 @@ class PersistedIndex:
             [(n, t) for n, ts in qterms.items() for t in ts],
             "query string, term string",
         )
-        exploded = self._matched_blocks(terms_all).select(
-            "term",
-            F.col("df").cast("double").alias("df"),
-            F.explode(decode_postings_udf("blob")).alias("p"),
-        ).select(
-            "term",
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.tf").cast("double").alias("tf"),
-            F.col("p.doc_len").cast("double").alias("doc_len"),
-            "df",
-        )
+        exploded = None
+        if prune:
+            from vexor_spark.index.wand import pruned_multi
+
+            exploded = pruned_multi(self, qterms, k, metrics=metrics)
+        if exploded is None:
+            exploded = self._exploded_rows(self._matched_blocks(terms_all))
         contrib = bm25_contribution_col(
             F.col("tf"), F.col("doc_len"), F.col("df"),
             float(self.doc_count), float(self.avg_doc_len),

@@ -52,11 +52,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vexor_spark.functions.codec import decode_postings_udf
-from vexor_spark.operators.scoring import bm25_contribution_col
 
 # If candidate generation exceeds this, fall back to unpruned scoring
 # (collecting a huge candidate set to the driver would be the real cost).
 MAX_CANDIDATES = 200_000
+
+# Seed-refined θ (round-6): bounds on the driver-side exact-scoring
+# pass. Refinement loads each query term's block rows into the pyarrow
+# term cache (the same read warm() does), so cap the term count; the
+# pool cap bounds the per-seed lookup work.
+SEED_REFINE_MAX_TERMS = 8
+SEED_POOL_MAX = 512
 
 
 
@@ -65,19 +71,26 @@ def _idf(df: int, n: int) -> float:
 
 
 def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
-    """EXACT θ (k-th best single contribution of t_star) computed on
-    the driver from the pyarrow block cache: decode blocks in
-    descending block_ub order, stop once the k-th best so far ≥ the
-    next block's upper bound (idf is a common positive factor, so the
-    comparison can use raw kernels). Cost: usually one 128-posting
-    block; never a Spark job."""
+    """EXACT θ (k-th best single contribution of t_star among LIVE
+    docs) computed on the driver from the pyarrow block cache: decode
+    blocks in descending block_ub order, stop once the k-th best so far
+    ≥ the next block's upper bound (idf is a common positive factor, so
+    the comparison can use raw kernels). Cost: usually one 128-posting
+    block; never a Spark job.
+
+    `pidx._term_blocks_for_theta` supplies (blocks, excluded ids): a
+    SegmentedIndex walks its BASE blocks but must drop tombstoned docs
+    — a θ that counted a dead doc's contribution would not lower-bound
+    the live k-th best score (the round-5 verdict's soundness point).
+    Excluding docs only weakens θ, so the walk stays exact-or-
+    conservative; segment-layer postings are ignored for the same
+    reason (sound: θ is a lower bound, not a max)."""
     import numpy as np
 
     from vexor_spark.constants import BM25_B, BM25_K1
     from vexor_spark.functions.codec import decode_blocks_np
 
-    by_term, dfs = pidx._term_blocks_cached([t_star])
-    blocks = by_term.get(t_star)
+    blocks, exclude = pidx._term_blocks_for_theta(t_star)
     if not blocks or df_star < k:
         return 0.0
     n, avgdl = pidx.doc_count, pidx.avg_doc_len
@@ -87,10 +100,14 @@ def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
     kernels: list[float] = []
     kth = -1.0
     for i, b in enumerate(order):
-        _ids, tfs, dls = decode_blocks_np([b[5]], [b[4]])
-        tfs = tfs.astype(np.float64)
+        ids, tfs, dls = decode_blocks_np([b[5]], [b[4]])
+        tfs, dls = tfs.astype(np.float64), dls.astype(np.float64)
+        if exclude is not None and len(exclude):
+            pos = np.minimum(np.searchsorted(exclude, ids), len(exclude) - 1)
+            live = exclude[pos] != ids
+            tfs, dls = tfs[live], dls[live]
         kern = tfs * (BM25_K1 + 1.0) / (
-            tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl)
+            tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
         )
         kernels.extend(kern.tolist())
         if len(kernels) >= k:
@@ -107,12 +124,299 @@ def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
     return idf * kth if kth > 0 else 0.0
 
 
+def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
+    """Seed-refined θ for MULTI-term queries (round-5 verdict item 7):
+    the k-th best EXACT total score among a driver-scored seed pool.
+
+    Why: the classic θ (k-th best single contribution of t*) cannot
+    separate balanced-common shapes — every term's rest_ub exceeds any
+    achievable single-term θ, so the phrase class (the suite's largest)
+    always bound-skips and pays full decode. But the k-th best FULL
+    score of any k real docs is also a valid θ, and on balanced shapes
+    it approaches Σ ub rather than max ub — large enough to exceed some
+    rest_ub and fail blocks. This is distributed max-score: a term t
+    with (θ − rest_ub_t) above its best block bound contributes no
+    candidate blocks at all (the non-essential list), and block-max
+    trims the essential lists further.
+
+    Mechanics (all driver, no Spark job): pool = live docs from t*'s
+    descending-ub blocks (walked until ≥k live seeds) plus the single
+    top-ub block of every other term; each seed's total score is
+    computed exactly — per term, locate the block containing the seed
+    id (blocks partition the doc-id space in id order), decode it once
+    (memoized), look the id up. Soundness: seeds are REAL live docs
+    with EXACT totals, so the pool's k-th best ≤ true k-th best; any
+    prefix/subset of docs only lowers it. Returned deflated by 1 ppb —
+    the executor-side aggregation sums the same contributions in a
+    different order, and θ must stay ≤ the float sum every true top-k
+    doc actually gets.
+
+    Layered soundness: `_term_blocks_for_theta` supplies base blocks +
+    the tombstone exclusion set. A live-in-base doc's postings live
+    entirely in the base layer (delta re-adds rewrite the whole doc and
+    tombstone the base copy — index/delta.py), so base-only totals are
+    exact; segment-resident docs are merely absent from the pool, which
+    only weakens θ. Over-budget tombstone volume returns empty blocks →
+    0.0 (caller falls back to the classic θ)."""
+    import numpy as np
+
+    from vexor_spark.constants import BM25_B, BM25_K1
+    from vexor_spark.functions.codec import decode_blocks_np
+
+    if len(present) < 2 or len(present) > SEED_REFINE_MAX_TERMS:
+        return 0.0
+    n, avgdl = pidx.doc_count, pidx.avg_doc_len
+    if n < k or avgdl <= 0:
+        return 0.0
+    idf_map = {t: _idf(tdict[t][0], n) for t in present}
+
+    term_blocks: dict[str, list] = {}
+    exclude = None
+    for t in present:
+        blocks, exc = pidx._term_blocks_for_theta(t)
+        if exc is not None:
+            exclude = exc  # one tombstone set per index, same every term
+        if blocks:
+            term_blocks[t] = blocks
+    if not term_blocks:
+        return 0.0
+
+    def _kernel(tfs, dls):
+        return tfs * (BM25_K1 + 1.0) / (
+            tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
+        )
+
+    decoded: dict[tuple, tuple] = {}
+
+    def _decode(t: str, i: int):
+        key = (t, i)
+        if key not in decoded:
+            b = term_blocks[t][i]
+            ids, tfs, dls = decode_blocks_np([b[5]], [b[4]])
+            decoded[key] = (
+                ids,
+                _kernel(tfs.astype(np.float64), dls.astype(np.float64)),
+            )
+        return decoded[key]
+
+    def _live(ids):
+        if exclude is None or not len(exclude):
+            return np.ones(len(ids), bool)
+        pos = np.minimum(np.searchsorted(exclude, ids), len(exclude) - 1)
+        return exclude[pos] != ids
+
+    # --- seed pool
+    seed_ids: set[int] = set()
+    t_star = max(term_blocks, key=lambda t: idf_map[t] * tdict[t][1])
+    star_order = sorted(
+        range(len(term_blocks[t_star])),
+        key=lambda i: term_blocks[t_star][i][3],
+        reverse=True,
+    )
+    for i in star_order:
+        ids, _ = _decode(t_star, i)
+        seed_ids.update(ids[_live(ids)].tolist())
+        if len(seed_ids) >= k:
+            break
+    for t in term_blocks:
+        if t == t_star or len(seed_ids) >= SEED_POOL_MAX:
+            continue
+        best = max(range(len(term_blocks[t])), key=lambda i: term_blocks[t][i][3])
+        ids, _ = _decode(t, best)
+        live = ids[_live(ids)]
+        seed_ids.update(live[: SEED_POOL_MAX - len(seed_ids)].tolist())
+    if len(seed_ids) < k:
+        return 0.0
+    seeds = np.fromiter(seed_ids, dtype=np.int64, count=len(seed_ids))
+    seeds.sort()
+
+    # --- exact totals: per term, blocks partition the id space in
+    # ascending order, so block_last arrays admit a vectorized locate.
+    totals = np.zeros(len(seeds), dtype=np.float64)
+    for t, blocks in term_blocks.items():
+        last = np.fromiter((b[2] for b in blocks), dtype=np.int64, count=len(blocks))
+        first = np.fromiter((b[1] for b in blocks), dtype=np.int64, count=len(blocks))
+        pos = np.searchsorted(last, seeds)
+        valid = (pos < len(blocks)) & (first[np.minimum(pos, len(blocks) - 1)] <= seeds)
+        for bi in np.unique(pos[valid]):
+            ids, kern = _decode(t, int(bi))
+            sel = np.flatnonzero(valid & (pos == bi))
+            at = np.searchsorted(ids, seeds[sel])
+            safe = np.minimum(at, len(ids) - 1)
+            hit = ids[safe] == seeds[sel]
+            totals[sel[hit]] += idf_map[t] * kern[safe[hit]]
+
+    kth = float(np.partition(totals, len(totals) - k)[len(totals) - k])
+    return kth * (1.0 - 1e-9) if kth > 0 else 0.0
+
+
+def pruned_multi(
+    idx, qterms: dict[str, list[str]], k: int, metrics: dict | None = None
+) -> DataFrame | None:
+    """Block-max pruning for the BATCH serving path (round-5 verdict
+    item 6): the shared union-term scan previously decoded every
+    matched block for the whole batch, so one head-term query dragged
+    full decode cost into every batch. Returns live (term, df, doc_id,
+    tf, doc_len) rows covering a provably sufficient block subset, or
+    None when no query in the batch is prunable (caller falls back to
+    the plain shared scan — the guaranteed-fallback discipline of
+    pruned_scores).
+
+    Driver side, per query q: the same three skip rules + θ walk as
+    pruned_scores (θ walks memoized per t*). A q that survives is
+    PRUNED with θ_q; others are UNPRUNED. Per term t, two thresholds in
+    block_ub units:
+      thr_p[t]   = min over pruned q∋t of (θ_q − rest_ub_{q,t})/(idf_t·f)
+                   (+∞ for terms no pruned query uses)
+      thr_all[t] = −1 (keep all blocks) if ANY unpruned query uses t,
+                   else thr_p[t]
+    Candidate pass decodes blocks with block_ub·f ≥ thr_p → C (capped).
+    Needed blocks = {block_ub·f ≥ thr_all} ∪ {blocks containing a doc
+    of C}. Exactness: (1) for an unpruned query every block of its
+    terms is needed (thr_all=−1) — the plain path. (2) For a pruned
+    query q, a live doc d with score_q(d) ≥ θ_q passes q's bound test
+    in each of its blocks (WAND inequality), so d ∈ C and every block
+    containing d is decoded ⇒ d's score is EXACT. A doc d ∉ C has
+    score_q(d) < θ_q ≤ true k-th best, and its (possibly partial,
+    partial ≤ true) aggregate stays strictly below every true top-k
+    score — it cannot displace anything inside the top k. So per-query
+    top-k ranks equal the unpruned batch.
+    """
+    spark = idx.spark
+    n = idx.doc_count
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    tdict = idx.term_dict(all_terms)
+    present = [t for t in all_terms if t in tdict]
+    if not present:
+        return None
+    f = float(idx.ub_factor)
+    idf_map = {t: _idf(tdict[t][0], n) for t in present}
+    ub = {t: idf_map[t] * tdict[t][1] * f for t in present}
+
+    theta_cache: dict[str, float] = {}
+    seed_cache: dict[tuple, float] = {}
+    pruned: dict[str, tuple[float, dict, list]] = {}
+    unpruned_terms: set[str] = set()
+    for name, ts in qterms.items():
+        terms_q = [t for t in ts if t in tdict]
+        if not terms_q:
+            continue
+        rest = {
+            t: sum(ub[u] for u in terms_q if u != t) * (1 + 1e-12) + 1e-12
+            for t in terms_q
+        }
+        eligible = [t for t in terms_q if tdict[t][0] >= k]
+        if not eligible:
+            unpruned_terms.update(terms_q)
+            continue
+        theta_max = max(ub[t] for t in eligible)
+        theta = 0.0
+        if not all(rest[t] >= theta_max for t in terms_q):
+            t_star = max(eligible, key=lambda t: ub[t])
+            if t_star not in theta_cache:
+                theta_cache[t_star] = _theta_driver(idx, t_star, tdict[t_star][0], k)
+            theta = theta_cache[t_star]
+        # seed-refined θ (exact driver-scored pool — see _theta_seed):
+        # the only bound that can separate balanced-common queries in
+        # the batch; memoized by term set across the batch.
+        skey = tuple(sorted(terms_q))
+        if skey not in seed_cache:
+            seed_cache[skey] = _theta_seed(idx, terms_q, tdict, k)
+        theta = max(theta, seed_cache[skey])
+        if theta <= 0.0 or all(rest[t] >= theta for t in terms_q):
+            unpruned_terms.update(terms_q)
+            continue
+        if sum(tdict[t][0] for t in terms_q if rest[t] >= theta) > MAX_CANDIDATES:
+            unpruned_terms.update(terms_q)
+            continue
+        pruned[name] = (theta, rest, terms_q)
+    if not pruned:
+        return None
+
+    INF = float("inf")
+    thr_p = {t: INF for t in present}
+    for _name, (theta, rest, terms_q) in pruned.items():
+        for t in terms_q:
+            need = (theta - rest[t]) / (idf_map[t] * f)
+            if need < thr_p[t]:
+                thr_p[t] = need
+    BIG = 1e300  # stands in for +∞ (never a candidate source)
+    rows = [
+        (
+            t,
+            thr_p[t] if thr_p[t] != INF else BIG,
+            -1.0 if t in unpruned_terms else (thr_p[t] if thr_p[t] != INF else BIG),
+        )
+        for t in present
+    ]
+    thrdf = spark.createDataFrame(rows, "term string, thr_p double, thr_all double")
+    bounded = idx._matched_blocks(present).join(F.broadcast(thrdf), "term").persist()
+    try:
+        cand_rows = (
+            bounded.filter(F.col("block_ub") * F.lit(f) >= F.col("thr_p"))
+            .select(F.explode(decode_postings_udf("blob")).alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"))
+            .distinct()
+            .limit(MAX_CANDIDATES + 1)
+            .collect()
+        )
+        if len(cand_rows) > MAX_CANDIDATES:
+            return None
+        candidates = sorted(r["doc_id"] for r in cand_rows)
+        passes_all = F.col("block_ub") * F.lit(f) >= F.col("thr_all")
+        if candidates and len(candidates) <= 1000:
+            cand_arr = F.array(*[F.lit(int(c)) for c in candidates])
+            contains = (
+                F.size(
+                    F.filter(
+                        cand_arr,
+                        lambda c: (c >= F.col("block_first")) & (c <= F.col("block_last")),
+                    )
+                )
+                > 0
+            )
+            needed = bounded.filter(passes_all | contains)
+        elif candidates:
+            cdf = spark.createDataFrame([(int(c),) for c in candidates], "cand long")
+            hit = bounded.join(
+                F.broadcast(cdf),
+                (F.col("cand") >= F.col("block_first"))
+                & (F.col("cand") <= F.col("block_last")),
+                "left_semi",
+            )
+            needed = bounded.filter(passes_all).unionByName(hit).dropDuplicates(
+                ["term", "_layer", "block_id"]
+            )
+        else:
+            needed = bounded.filter(passes_all)
+        if metrics is not None:
+            metrics["multi_pruned_queries"] = len(pruned)
+            metrics["multi_unpruned_queries"] = len(qterms) - len(pruned)
+            metrics["blocks_total"] = bounded.count()
+            metrics["blocks_decoded"] = needed.count()
+            metrics["candidates"] = len(candidates)
+        return idx._exploded_rows(needed.drop("thr_p", "thr_all"))
+    finally:
+        bounded.unpersist()
+
+
 def pruned_scores(
-    pidx, terms: list[str], k: int, metrics: dict | None = None
+    pidx, terms: list[str], k: int, metrics: dict | None = None,
+    theta_slack: float = 0.0,
 ) -> DataFrame:
     """(doc_id, score) for the matched docs that can reach the top-k —
     exact scores (equal to the unpruned path) for every returned doc
     that belongs to the true top-k.
+
+    `theta_slack` lowers the pruning threshold to θ − slack: every doc
+    whose UNROUNDED score ≥ θ − slack is then guaranteed present with
+    an exact score. Callers that rank on ROUNDED scores (round_dp) need
+    this: pruning decides on unrounded scores, and a doc just below the
+    unrounded k-th can round into a tie and win the doc_id tiebreak —
+    with slack = 1.5·10^-dp, any doc d with round(score_d) ≥
+    round(s_k) satisfies score_d ≥ s_k − 10^-dp > θ − slack, so the
+    rounded-rank top-k is complete (round-5 ADVICE: latent flaky parity
+    at the k boundary). Slack only weakens θ, so exactness is preserved.
 
     `metrics`, when given, is filled with pruning counters (theta,
     blocks_total / blocks_passing / blocks_decoded, candidates) — the
@@ -160,24 +464,16 @@ def pruned_scores(
             metrics["theta_skipped"] = True
         return pidx._score_blocks(blocks)
 
-    # --- second driver-side check: can ANY block fail the bound test?
+    # --- second driver-side check: can the WALK θ fail any block?
     # A block of term t is skippable iff idf_t·block_ub·f + rest_ub_t <
-    # θ; since block_ub ≥ 0 and θ ≤ ub_{t*} (θ is a single contribution
-    # from t*'s own list), no block of ANY term can fail when every
-    # rest_ub_t ≥ max eligible ub — the θ/candidate passes would pay 3
-    # extra jobs to prune nothing. This is the round-4 measured shape:
-    # 'spark merge window' (3 common terms) passed 13,680/13,680 blocks
-    # because each term's rest_ub (sum of the other two) exceeded every
-    # achievable θ, while 'spark' (1 term, rest_ub=0) pruned 2908→123
-    # and 'merge hash' (dominated pair) pruned 10,772→10. Pure dict
-    # arithmetic — no Spark job.
+    # θ; the walk's θ ≤ ub_{t*} (a single contribution from t*'s own
+    # list), so when every rest_ub_t ≥ max eligible ub the walk is
+    # pointless — this is the balanced-common shape ('spark merge
+    # window': 3 common terms, 13,680/13,680 blocks passed in round 4).
+    # Round 6: such shapes go to SEED refinement below instead of
+    # straight to unpruned — only the walk is skipped here.
     theta_max = max(ub[t] for t in eligible)
-    if all(rest_ub[t] >= theta_max for t in present):
-        if metrics is not None:
-            metrics["theta"] = 0.0
-            metrics["pruned"] = False
-            metrics["bound_skipped"] = True
-        return pidx._score_blocks(blocks)
+    walk_skipped = all(rest_ub[t] >= theta_max for t in present)
 
     # --- θ from the driver, not a Spark job (round-5): θ is the k-th
     # best single-term contribution of t*. Decoding t*'s WHOLE list
@@ -191,13 +487,28 @@ def pruned_scores(
     # typically ⌈k/block_size⌉ (= 1) blocks were decoded. Any prefix of
     # this walk already yields a valid lower bound, so the early-out is
     # safe by construction.
-    t_star = max(eligible, key=lambda t: ub[t])
-    theta = _theta_driver(pidx, t_star, tdict[t_star][0], k)
+    theta_walk = 0.0
+    if not walk_skipped:
+        t_star = max(eligible, key=lambda t: ub[t])
+        theta_walk = _theta_driver(pidx, t_star, tdict[t_star][0], k)
+    # Seed refinement (round-6): exact totals of a driver-scored seed
+    # pool — the only θ that can separate balanced-common shapes, where
+    # the single-contribution walk provably cannot (walk_skipped). For
+    # shapes the walk already handles, max() keeps the stronger bound.
+    theta_seed = _theta_seed(pidx, present, tdict, k)
+    theta = max(theta_walk, theta_seed) - theta_slack
     if metrics is not None:
         metrics["theta"] = float(theta)
-    if theta <= 0.0:
+        metrics["theta_walk"] = float(theta_walk)
+        metrics["theta_seed"] = float(theta_seed)
+    if theta <= 0.0 or all(rest_ub[t] >= theta for t in present):
+        # no block of any term can fail the bound test at this θ — the
+        # candidate pass would pay 3 jobs to prune nothing (the round-4
+        # balanced-common measurement, now reached only when even the
+        # refined θ cannot separate).
         if metrics is not None:
             metrics["pruned"] = False
+            metrics["bound_skipped"] = True
         return pidx._score_blocks(blocks)
 
     # --- third driver-side check: UNPRUNABLE posting volume. A term t
@@ -279,30 +590,17 @@ def pruned_scores(
                     "left_semi",
                 )
             )
+            # (term, _layer, block_id) is the cross-layer block key —
+            # base and segment layers can reuse the same block_id.
             needed = bounded.filter("passes").unionByName(hit).dropDuplicates(
-                ["term", "block_id"]
+                ["term", "_layer", "block_id"]
             )
 
         if metrics is not None:
             metrics["blocks_decoded"] = needed.count()
         cset_df = spark.createDataFrame([(int(c),) for c in candidates], "doc_id long")
-        exploded = needed.select(
-            F.col("df").cast("double").alias("df"),
-            F.explode(decode_postings_udf("blob")).alias("p"),
-        ).select(
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.tf").cast("double").alias("tf"),
-            F.col("p.doc_len").cast("double").alias("doc_len"),
-            "df",
-        )
-        contrib = bm25_contribution_col(
-            F.col("tf"), F.col("doc_len"), F.col("df"), float(n), float(avgdl)
-        )
-        return (
-            exploded.join(F.broadcast(cset_df), "doc_id", "left_semi")
-            .withColumn("contribution", contrib)
-            .groupBy("doc_id")
-            .agg(F.sum("contribution").alias("score"))
-        )
+        # the index's own scorer: applies its tombstone filtering (the
+        # segmented view) before the candidate semi-join + aggregation.
+        return pidx._score_blocks(needed, candidates=cset_df)
     finally:
         bounded.unpersist()
