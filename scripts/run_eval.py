@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=20000)
     ap.add_argument("--skip-letter", action="store_true",
                     help="skip the (measured-degenerate) letter arms")
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated arm subset (2M runs: the hbow"
+                         " + ann triples + bm25_full fit the driver)")
     args = ap.parse_args()
 
     from vexor_spark.eval import ALL_ARMS, evaluate
@@ -50,6 +53,11 @@ def main() -> None:
     queries = query_suite(args.pages)
     arms = tuple(a for a in ALL_ARMS if not (
         args.skip_letter and a in ("off", "bm25", "hybrid")))
+    if args.arms:
+        chosen = [a.strip() for a in args.arms.split(",") if a.strip()]
+        unknown = sorted(set(chosen) - set(ALL_ARMS))
+        assert not unknown, f"unknown arms {unknown}; have {ALL_ARMS}"
+        arms = tuple(a for a in ALL_ARMS if a in chosen)
 
     # dense-leg latency probe: same query, full scan vs ANN-served
     # (caches warmed first so both sides measure steady-state serving).
