@@ -282,13 +282,13 @@ def test_seed_theta_engages_balanced_common(persisted):
         (r["rank"], r["doc_id"], round(float(r["score"]), 9)) for r in b
     ]
 
-    # anchored pair: walk θ engages already; the seed pass can only
-    # raise θ (exact totals dominate single contributions), never lower
-    # the decode set's exactness — ranks stay identical.
+    # anchored pair: stage 1 (the walk) engages on its own, so the
+    # seed rescue never runs — prune stays free where round 5 already
+    # won — and ranks stay identical.
     m = {}
     a = idx.search_distributed("news merge", k=10, prune=True, metrics=m).collect()
     assert m.get("pruned") is True, m
-    assert m.get("theta_seed", 0.0) >= m.get("theta_walk", 0.0), m
+    assert m.get("theta_walk", 0.0) > 0.0 and m.get("theta_seed") == 0.0, m
     b = idx.search_distributed("news merge", k=10, prune=False).collect()
     assert [(r["rank"], r["doc_id"]) for r in a] == [
         (r["rank"], r["doc_id"]) for r in b

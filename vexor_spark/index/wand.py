@@ -27,21 +27,26 @@ ub ⇒ their tail blocks fail the bound test; their rows are dropped at
 the *block* level (never decoded) unless a candidate lives inside —
 the shuffle/aggregate volume collapses from Σ|postings| to ~|candidates|·|q|.
 
-Round-5 engagement discipline (all pure driver work, measured at 2M —
-BENCH_R05_SCALE.json serving_2M_r05):
-- θ is computed ON THE DRIVER from the pyarrow block cache (descending
-  block_ub walk, exact by the stopping rule, typically one block) — the
-  executor θ pass of round 4 decoded t*'s whole list and negated the
-  win for single-term queries.
-- Three dict-only skip rules route hopeless shapes straight to
-  unpruned scoring: no df ≥ k term (θ would be 0); every rest_ub ≥ any
-  achievable θ (no block can fail — balanced common terms); unfailable
-  terms' posting volume above MAX_CANDIDATES (the candidate pass would
-  cap out and fall back — anchored pairs).
+Engagement discipline (all pure driver work, measured at 2M; round 5
+built stage 1, round 6 added stage 2):
+- STAGE 1 (dict-only + one θ walk): no df ≥ k term → θ would be 0,
+  skip; every rest_ub ≥ any achievable walk θ → no block can fail,
+  decline; otherwise θ = k-th best single contribution of t*, decoded
+  driver-side from the pyarrow block cache (descending block_ub walk,
+  exact stopping rule, typically one block); then the volume rule —
+  at walk θ every non-t* term is PROVABLY unfailable (rest_ub_t ≥
+  ub_{t*} ≥ θ), so if those dfs exceed MAX_CANDIDATES the candidate
+  pass would cap out after paying full decodes: decline.
+- STAGE 2 (seed rescue, only when stage 1 declines): θ from exact
+  driver-scored seed totals (_theta_seed) — the only bound that can
+  separate balanced-common shapes — re-checked with the EXACT
+  passing-block volume (_passing_volume) because the dict volume rule
+  breaks once θ crosses a common term's rest_ub while its blocks all
+  still pass.
 Net: `prune=True` (the default) costs unpruned-price on unprunable
-query shapes and wins outright on prunable ones — single common terms
-at 2M run 2.8–4.0 s pruned vs 4.4–4.7 s unpruned, decoding 10 of
-10,772 blocks.
+query shapes (plus a once-per-term-set driver seed probe, memoized)
+and wins outright on prunable ones — single/dominated common terms at
+2M run ~2.2 s pruned vs ~4.2 s unpruned, decoding 10 of 10,772 blocks.
 """
 
 from __future__ import annotations
@@ -168,6 +173,14 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
     n, avgdl = pidx.doc_count, pidx.avg_doc_len
     if n < k or avgdl <= 0:
         return 0.0
+    memo = getattr(pidx, "_seed_theta_memo", None)
+    if memo is None:
+        memo = pidx._seed_theta_memo = {}
+    mkey = (tuple(sorted(present)), k)
+    if mkey in memo:
+        return memo[mkey]
+    if len(memo) > 1024:
+        memo.clear()
     idf_map = {t: _idf(tdict[t][0], n) for t in present}
 
     term_blocks: dict[str, list] = {}
@@ -179,6 +192,7 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         if blocks:
             term_blocks[t] = blocks
     if not term_blocks:
+        memo[mkey] = 0.0
         return 0.0
 
     def _kernel(tfs, dls):
@@ -226,6 +240,7 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         live = ids[_live(ids)]
         seed_ids.update(live[: SEED_POOL_MAX - len(seed_ids)].tolist())
     if len(seed_ids) < k:
+        memo[mkey] = 0.0
         return 0.0
     seeds = np.fromiter(seed_ids, dtype=np.int64, count=len(seed_ids))
     seeds.sort()
@@ -247,7 +262,43 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
             totals[sel[hit]] += idf_map[t] * kern[safe[hit]]
 
     kth = float(np.partition(totals, len(totals) - k)[len(totals) - k])
-    return kth * (1.0 - 1e-9) if kth > 0 else 0.0
+    out = kth * (1.0 - 1e-9) if kth > 0 else 0.0
+    memo[mkey] = out
+    return out
+
+
+def _passing_volume(pidx, present, idf_map, rest_ub, theta, f):
+    """EXACT posting volume of the blocks that will pass the bound
+    test, computed on the driver from the cached block rows (the same
+    lists the seed pass loads) — or None when the term count exceeds
+    the load budget (caller falls back to the conservative
+    unfailable-df rule).
+
+    Why exact matters (round-6 measured failure): the conservative rule
+    'term t is unfailable iff rest_ub_t ≥ θ' breaks down when the
+    seed-refined θ lands just ABOVE rest_ub of a huge common term — the
+    term stops counting as unfailable, yet every one of its blocks
+    still passes `idf·bub·f + rest_ub ≥ θ`, so the candidate pass
+    decodes the full list and caps out AFTER paying for it ('news
+    merge' at 2M: 49.8 s vs 6.2 s unpruned). Candidates are distinct
+    docs of passing blocks, so candidates ≤ this volume: engaging only
+    when volume ≤ MAX_CANDIDATES makes the cap unreachable from the
+    base layer. For a SegmentedIndex the walk excludes segment-layer
+    blocks — an undercount only in proportion to segment size, and the
+    Spark-side cap still guards exactness-by-fallback."""
+    import numpy as np
+
+    if len(present) > SEED_REFINE_MAX_TERMS:
+        return None
+    vol = 0
+    for t in present:
+        blocks, _exc = pidx._term_blocks_for_theta(t)
+        if not blocks:
+            continue
+        ubs = np.fromiter((b[3] for b in blocks), dtype=np.float64, count=len(blocks))
+        ns = np.fromiter((b[4] for b in blocks), dtype=np.int64, count=len(blocks))
+        vol += int(ns[idf_map[t] * ubs * f + rest_ub[t] >= theta].sum())
+    return vol
 
 
 def pruned_multi(
@@ -309,24 +360,37 @@ def pruned_multi(
         if not eligible:
             unpruned_terms.update(terms_q)
             continue
+        # stage 1 (dict-only + memoized walk) then stage-2 seed rescue
+        # with the exact volume check — same two-stage discipline and
+        # soundness argument as pruned_scores.
         theta_max = max(ub[t] for t in eligible)
-        theta = 0.0
+        theta_walk = 0.0
+        theta = None
         if not all(rest[t] >= theta_max for t in terms_q):
             t_star = max(eligible, key=lambda t: ub[t])
             if t_star not in theta_cache:
                 theta_cache[t_star] = _theta_driver(idx, t_star, tdict[t_star][0], k)
-            theta = theta_cache[t_star]
-        # seed-refined θ (exact driver-scored pool — see _theta_seed):
-        # the only bound that can separate balanced-common queries in
-        # the batch; memoized by term set across the batch.
-        skey = tuple(sorted(terms_q))
-        if skey not in seed_cache:
-            seed_cache[skey] = _theta_seed(idx, terms_q, tdict, k)
-        theta = max(theta, seed_cache[skey])
-        if theta <= 0.0 or all(rest[t] >= theta for t in terms_q):
-            unpruned_terms.update(terms_q)
-            continue
-        if sum(tdict[t][0] for t in terms_q if rest[t] >= theta) > MAX_CANDIDATES:
+            theta_walk = theta_cache[t_star]
+            if theta_walk > 0.0 and not all(
+                rest[t] >= theta_walk for t in terms_q
+            ):
+                if (
+                    sum(tdict[t][0] for t in terms_q if rest[t] >= theta_walk)
+                    <= MAX_CANDIDATES
+                ):
+                    theta = theta_walk
+        if theta is None:
+            skey = tuple(sorted(terms_q))
+            if skey not in seed_cache:
+                seed_cache[skey] = _theta_seed(idx, terms_q, tdict, k)
+            ts_ = seed_cache[skey]
+            if ts_ > theta_walk and not all(rest[t] >= ts_ for t in terms_q):
+                vol = _passing_volume(idx, terms_q, idf_map, rest, ts_, f)
+                if vol is None:
+                    vol = sum(tdict[t][0] for t in terms_q if rest[t] >= ts_)
+                if vol <= MAX_CANDIDATES:
+                    theta = ts_
+        if theta is None:
             unpruned_terms.update(terms_q)
             continue
         pruned[name] = (theta, rest, terms_q)
@@ -464,72 +528,76 @@ def pruned_scores(
             metrics["theta_skipped"] = True
         return pidx._score_blocks(blocks)
 
-    # --- second driver-side check: can the WALK θ fail any block?
-    # A block of term t is skippable iff idf_t·block_ub·f + rest_ub_t <
-    # θ; the walk's θ ≤ ub_{t*} (a single contribution from t*'s own
-    # list), so when every rest_ub_t ≥ max eligible ub the walk is
-    # pointless — this is the balanced-common shape ('spark merge
-    # window': 3 common terms, 13,680/13,680 blocks passed in round 4).
-    # Round 6: such shapes go to SEED refinement below instead of
-    # straight to unpruned — only the walk is skipped here.
+    # --- STAGE 1 (round-5, dict-only + one θ walk — zero new cost):
+    # (a) bound check: the walk's θ ≤ ub_{t*}, so when every rest_ub_t
+    #     ≥ max eligible ub no block of any term can fail at any walk
+    #     θ — skip the walk ('spark merge window': 13,680/13,680 blocks
+    #     passed in round 4).
+    # (b) θ walk on the driver: k-th best single contribution of t*,
+    #     decoded from the pyarrow block cache in descending block_ub
+    #     order with an exact stopping rule (typically 1 block).
+    # (c) volume rule, EXACT at walk θ: rest_ub[t] = Σ_{u≠t} ub_u ≥
+    #     ub_{t*} ≥ θ_walk for every t ≠ t*, so every non-t* term is
+    #     provably unfailable and its whole df lands in the candidate
+    #     set — if those dfs exceed MAX_CANDIDATES, the candidate pass
+    #     is guaranteed to cap out after paying full decodes
+    #     (anchored-pair shape, 'news merge').
     theta_max = max(ub[t] for t in eligible)
-    walk_skipped = all(rest_ub[t] >= theta_max for t in present)
-
-    # --- θ from the driver, not a Spark job (round-5): θ is the k-th
-    # best single-term contribution of t*. Decoding t*'s WHOLE list
-    # executor-side (the round-4 shape) costs as much as unpruned
-    # scoring of that term — for single-term queries that negated every
-    # block the candidate pass later skipped. Instead walk t*'s block
-    # rows (already served by the pyarrow term cache) in DESCENDING
-    # block_ub order, decoding one block at a time until the running
-    # k-th best contribution ≥ the next block's upper bound — at that
-    # point no undecoded posting can raise θ, so θ is EXACT, and
-    # typically ⌈k/block_size⌉ (= 1) blocks were decoded. Any prefix of
-    # this walk already yields a valid lower bound, so the early-out is
-    # safe by construction.
-    theta_walk = 0.0
-    if not walk_skipped:
+    idf_map = {t: _idf(tdict[t][0], n) for t in present}
+    theta_walk = theta_seed = 0.0
+    theta = 0.0
+    engaged = False
+    skip_reason = "bound"
+    if not all(rest_ub[t] >= theta_max for t in present):
         t_star = max(eligible, key=lambda t: ub[t])
         theta_walk = _theta_driver(pidx, t_star, tdict[t_star][0], k)
-    # Seed refinement (round-6): exact totals of a driver-scored seed
-    # pool — the only θ that can separate balanced-common shapes, where
-    # the single-contribution walk provably cannot (walk_skipped). For
-    # shapes the walk already handles, max() keeps the stronger bound.
-    theta_seed = _theta_seed(pidx, present, tdict, k)
-    theta = max(theta_walk, theta_seed) - theta_slack
+        cand = theta_walk - theta_slack
+        if cand > 0.0 and not all(rest_ub[t] >= cand for t in present):
+            if (
+                sum(tdict[t][0] for t in present if rest_ub[t] >= cand)
+                <= MAX_CANDIDATES
+            ):
+                theta, engaged = cand, True
+            else:
+                skip_reason = "volume"
+
+    # --- STAGE 2 (round-6 rescue, only when stage 1 declined): the
+    # seed-refined θ — exact driver-scored totals (_theta_seed) — is
+    # the only bound that can separate balanced-common shapes, where
+    # stage 1 provably cannot. Its volume check must be the EXACT
+    # passing-block count (_passing_volume): a seed θ just above a
+    # common term's rest_ub stops that term counting as 'unfailable'
+    # in the dict rule while every one of its blocks still passes —
+    # the measured 49.8 s cap-out on 'news merge' at 2M.
+    if not engaged:
+        theta_seed = _theta_seed(pidx, present, tdict, k)
+        cand = max(theta_walk, theta_seed) - theta_slack
+        if theta_seed > theta_walk and cand > 0.0 and not all(
+            rest_ub[t] >= cand for t in present
+        ):
+            vol = _passing_volume(
+                pidx, present, idf_map, rest_ub, cand, float(pidx.ub_factor)
+            )
+            if vol is None:
+                vol = sum(tdict[t][0] for t in present if rest_ub[t] >= cand)
+            if metrics is not None:
+                metrics["passing_volume"] = int(vol)
+            if vol <= MAX_CANDIDATES:
+                theta, engaged = cand, True
+            else:
+                skip_reason = "volume"
+
     if metrics is not None:
-        metrics["theta"] = float(theta)
+        metrics["theta"] = float(theta if engaged else 0.0)
         metrics["theta_walk"] = float(theta_walk)
         metrics["theta_seed"] = float(theta_seed)
-    if theta <= 0.0 or all(rest_ub[t] >= theta for t in present):
-        # no block of any term can fail the bound test at this θ — the
-        # candidate pass would pay 3 jobs to prune nothing (the round-4
-        # balanced-common measurement, now reached only when even the
-        # refined θ cannot separate).
+    if not engaged:
         if metrics is not None:
             metrics["pruned"] = False
-            metrics["bound_skipped"] = True
-        return pidx._score_blocks(blocks)
-
-    # --- third driver-side check: UNPRUNABLE posting volume. A term t
-    # whose rest_ub_t ≥ θ cannot have ANY block fail the bound test —
-    # its entire list lands in the candidate set. If those terms alone
-    # carry more postings than MAX_CANDIDATES, the candidate pass is
-    # guaranteed to trip the cap and fall back after paying full
-    # decodes — skip straight to unpruned scoring. This is the
-    # anchored-pair shape ('news merge': merge's 1.4M postings are
-    # unfailable because rest_ub_merge = ub_news ≥ θ); measured round 5
-    # at 2M: candidates 200,001 (capped) on every such query before
-    # this check. Dict arithmetic + the already-computed θ; no job.
-    unprunable = sum(tdict[t][0] for t in present if rest_ub[t] >= theta)
-    if unprunable > MAX_CANDIDATES:
-        if metrics is not None:
-            metrics["pruned"] = False
-            metrics["volume_skipped"] = True
+            metrics[f"{skip_reason}_skipped"] = True
         return pidx._score_blocks(blocks)
 
     # --- candidate pass: docs in blocks whose bound can reach θ
-    idf_map = {t: _idf(tdict[t][0], n) for t in present}
     bound_df = spark.createDataFrame(
         [(t, idf_map[t], rest_ub[t]) for t in present],
         "term string, idf double, rest_ub double",
