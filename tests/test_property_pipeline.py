@@ -25,6 +25,36 @@ bodies = st.lists(
 )
 
 
+token_lists = st.lists(
+    st.lists(
+        st.text(alphabet="abc中_0", min_size=1, max_size=4),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(token_lists)
+def test_term_freqs_mapside_equals_shuffle(spark, tokens):
+    """The map-side sorted-run-length term_freqs must equal the
+    explode+groupBy formulation row-for-row (duplicates, empty docs,
+    multi-byte tokens)."""
+    from pyspark.sql import functions as F
+
+    from vexor_spark.operators.postings import term_freqs, term_freqs_shuffle
+
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(tokens)],
+        "doc_id long, tokens array<string>",
+    ).withColumn("doc_len", F.size("tokens"))
+    got = sorted(map(tuple, term_freqs(df).collect()))
+    want = sorted(map(tuple, term_freqs_shuffle(df).collect()))
+    assert got == want
+
+
 @settings(max_examples=5, deadline=None)
 @given(bodies, st.integers(min_value=0, max_value=10**6))
 def test_random_corpus_engine_equals_oracle(spark, texts, qseed):

@@ -44,8 +44,53 @@ def tokenize_docs(docs: DataFrame, text_col: str = "document") -> DataFrame:
 
 
 def term_freqs(tokenized: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, doc_len) — per-doc term frequencies
-    (vexor/bm25.py:60-61 via explode + count)."""
+    """(doc_id, doc_len, term, tf) — per-doc term frequencies
+    (vexor/bm25.py:60-61 semantics), computed MAP-SIDE.
+
+    All of a document's tokens live in one row, so the per-(doc, term)
+    count never needs a shuffle: sort the token array, find run starts,
+    and emit (term, run_length) structs — pure JVM expressions. The
+    explode+groupBy formulation (kept as `term_freqs_shuffle`) hashes
+    and exchanges one row per (doc, term) pair before its final
+    aggregation; at index-build scale that exchange is a full extra
+    pass of term-string rows over the shuffle bus, back-to-back with
+    the term-bucket repartition the block encoder needs anyway.
+    Removing it halves the build's shuffled bytes (SURVEY §4.2 scale
+    note; the round-5/6 scaling-efficiency weak)."""
+    s = F.array_sort("tokens")
+    n = F.size(s)
+    # 1-based positions where a new run starts in the sorted array.
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1)) | (F.element_at(s, i) != F.element_at(s, i - F.lit(1))),
+    )
+    # Each run ends where the next begins; n+1 closes the last run.
+    nexts = F.concat(
+        F.slice(starts, F.lit(2), F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    runs = F.zip_with(
+        starts,
+        nexts,
+        lambda a, b: F.struct(
+            F.element_at(s, a).alias("term"), (b - a).cast("int").alias("tf")
+        ),
+    )
+    # sequence(1, 0) would descend — guard the empty-token case (blank
+    # docs vanish here exactly as explode of an empty array would).
+    runs = F.when(n > 0, runs).otherwise(
+        F.array().cast("array<struct<term:string,tf:int>>")
+    )
+    return (
+        tokenized.select("doc_id", "doc_len", F.explode(runs).alias("r"))
+        .select("doc_id", "doc_len", F.col("r.term").alias("term"), F.col("r.tf").alias("tf"))
+    )
+
+
+def term_freqs_shuffle(tokenized: DataFrame) -> DataFrame:
+    """The explode + two-phase hash-agg formulation (one extra full
+    exchange of (doc, term) rows). Kept as the property-test oracle for
+    `term_freqs` and for A/B shuffle-volume measurement."""
     return (
         tokenized.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "doc_len", "term")
