@@ -295,6 +295,32 @@ def test_seed_theta_engages_balanced_common(persisted):
     ]
 
 
+def test_seed_precheck_skips_uid_anchored_phrase(persisted):
+    """Round-6 follow-up (measured at 2M): a uid-anchored multi-term
+    query is PROVABLY unprunable — the rare term's ub rides in every
+    common term's rest_ub while the pigeonhole cap bounds any valid θ
+    by the common terms' ub sum, which equals min rest_ub — so the
+    dict-only precheck must skip the driver seed probe entirely
+    (wand._seed_theta_cap); without it the phrase class paid +40%
+    latency at 2M for zero engagement. Results stay identical to
+    unpruned (fallback scoring)."""
+    idx, _, _ = persisted
+
+    m: dict = {}
+    a = idx.search_distributed(
+        "shuffle stage task memory uid_000017", k=10, prune=True, metrics=m
+    ).collect()
+    assert m.get("seed_precheck_skipped") is True, m
+    assert m.get("theta_seed") == 0.0 and m.get("pruned") is False, m
+    assert m.get("seed_cap", -1.0) >= 0.0, m
+    b = idx.search_distributed(
+        "shuffle stage task memory uid_000017", k=10, prune=False
+    ).collect()
+    assert [(r["rank"], r["doc_id"], round(float(r["score"]), 9)) for r in a] == [
+        (r["rank"], r["doc_id"], round(float(r["score"]), 9)) for r in b
+    ]
+
+
 def test_multi_pruned_rank_identity(persisted):
     """Round-6: pruning inside the batch path (wand.pruned_multi) —
     per-query results identical to the unpruned shared scan, for a mix

@@ -267,6 +267,30 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
     return out
 
 
+def _seed_theta_cap(present: list, tdict: dict, ub: dict, k: int) -> float:
+    """Dict-only UPPER bound on any valid seed θ — the precheck that
+    decides whether the driver seed probe can possibly engage.
+
+    Pigeonhole: terms with df < k ("rare" — the suite's uid anchors)
+    appear in at most Σ_rare df docs combined. If that sum < k, then
+    among ANY k docs at least one contains no rare term, so the k-th
+    best full score ≤ Σ ub over the COMMON (df ≥ k) terms. For a
+    phrase-shaped query (several common terms + one uid) that cap
+    EQUALS min_t rest_ub (both are S − ub_uid), and engagement needs
+    θ > min rest_ub — so the probe provably cannot engage, under ANY
+    valid θ, not just the seed's. This is the written unprunability
+    proof for the uid-anchored phrase class (round-5 verdict item 7):
+    the per-term WAND bound test credits every doc with the rare
+    term's ub through rest_ub, and no sound θ can exceed what the
+    rare-free doc population can actually score. Without the precheck
+    the probe pays its block loads and then bound-skips — measured
+    +40% phrase-class latency at 2M for zero engagement."""
+    rare_docs = sum(tdict[t][0] for t in present if tdict[t][0] < k)
+    if rare_docs < k:
+        return sum(ub[t] for t in present if tdict[t][0] >= k)
+    return sum(ub[t] for t in present)
+
+
 def _passing_volume(pidx, present, idf_map, rest_ub, theta, f):
     """EXACT posting volume of the blocks that will pass the bound
     test, computed on the driver from the cached block rows (the same
@@ -380,6 +404,12 @@ def pruned_multi(
                 ):
                     theta = theta_walk
         if theta is None:
+            # same dict-only precheck as pruned_scores: don't pay the
+            # driver seed probe when no valid θ could engage.
+            cap = _seed_theta_cap(terms_q, tdict, ub, k)
+            if cap <= min(rest[t] for t in terms_q) or cap <= theta_walk:
+                unpruned_terms.update(terms_q)
+                continue
             skey = tuple(sorted(terms_q))
             if skey not in seed_cache:
                 seed_cache[skey] = _theta_seed(idx, terms_q, tdict, k)
@@ -569,8 +599,17 @@ def pruned_scores(
     # common term's rest_ub stops that term counting as 'unfailable'
     # in the dict rule while every one of its blocks still passes —
     # the measured 49.8 s cap-out on 'news merge' at 2M.
+    seed_cap = 0.0
     if not engaged:
-        theta_seed = _theta_seed(pidx, present, tdict, k)
+        # dict-only precheck: run the (driver block-loading) seed probe
+        # only when a valid θ could both beat the walk AND fail a block.
+        seed_cap = _seed_theta_cap(present, tdict, ub, k)
+        min_rest = min(rest_ub.values())
+        if seed_cap - theta_slack <= min_rest or seed_cap <= theta_walk:
+            if metrics is not None:
+                metrics["seed_precheck_skipped"] = True
+        else:
+            theta_seed = _theta_seed(pidx, present, tdict, k)
         cand = max(theta_walk, theta_seed) - theta_slack
         if theta_seed > theta_walk and cand > 0.0 and not all(
             rest_ub[t] >= cand for t in present
@@ -591,6 +630,7 @@ def pruned_scores(
         metrics["theta"] = float(theta if engaged else 0.0)
         metrics["theta_walk"] = float(theta_walk)
         metrics["theta_seed"] = float(theta_seed)
+        metrics["seed_cap"] = float(seed_cap)
     if not engaged:
         if metrics is not None:
             metrics["pruned"] = False
