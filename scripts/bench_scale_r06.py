@@ -87,6 +87,12 @@ def probe_serving(pidx, suite, out: dict, key: str) -> None:
     pruned_t, unpruned_t, rows_by_cls = [], [], {}
     identity_bad = []
     for q in suite:
+        # untimed per-query cache warm (prune=False so the driver-side
+        # θ memos stay cold for the timed pruned pass): without this,
+        # whichever mode runs FIRST pays the parquet page-cache miss —
+        # measured ~+27% on the phrase class at 2M with the probe
+        # already precheck-skipped, i.e. pure run-order confound.
+        _ranked(pidx, q["query"], prune=False)
         t0 = time.time()
         a = _ranked(pidx, q["query"], prune=True)
         el = time.time() - t0

@@ -56,33 +56,56 @@ def term_freqs(tokenized: DataFrame) -> DataFrame:
     pass of term-string rows over the shuffle bus, back-to-back with
     the term-bucket repartition the block encoder needs anyway.
     Removing it halves the build's shuffled bytes (SURVEY §4.2 scale
-    note; the round-5/6 scaling-efficiency weak)."""
-    s = F.array_sort("tokens")
-    n = F.size(s)
+    note; the round-5/6 scaling-efficiency weak).
+
+    Every expensive intermediate (the sorted array, the run-start
+    positions) is materialized as a REAL projected column before any
+    higher-order function references it. Referencing the expression
+    itself instead re-evaluates the whole subtree per lambda element —
+    element_at(array_sort(tokens), i) inside filter() re-sorts the
+    array for every position — measured 126× slower than the shuffle
+    formulation at 200k docs (2.5 ms/doc) where this split runs it in
+    par with the hash-agg's compute minus its exchange. CollapseProject
+    keeps the split projections because the aliases are non-cheap and
+    multiply referenced."""
+    d = tokenized.select("doc_id", "doc_len", F.array_sort("tokens").alias("s"))
     # 1-based positions where a new run starts in the sorted array.
-    starts = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == F.lit(1)) | (F.element_at(s, i) != F.element_at(s, i - F.lit(1))),
+    # sequence(1, 0) would DESCEND into index 0 for empty docs, so the
+    # guard must sit here (starts is a materialized column, evaluated
+    # for every row — unlike an expression pruned by a lazy when()).
+    d = d.select(
+        "doc_id", "doc_len", "s",
+        F.when(
+            F.size("s") > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size("s")),
+                lambda i: (i == F.lit(1))
+                | (F.element_at("s", i) != F.element_at("s", i - F.lit(1))),
+            ),
+        ).otherwise(F.array().cast("array<int>")).alias("starts"),
     )
-    # Each run ends where the next begins; n+1 closes the last run.
-    nexts = F.concat(
-        F.slice(starts, F.lit(2), F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(n + 1),
+    # Each run ends where the next begins; size(s)+1 closes the last run.
+    d = d.select(
+        "doc_id", "doc_len", "s", "starts",
+        F.concat(
+            F.slice("starts", F.lit(2), F.greatest(F.size("starts") - 1, F.lit(0))),
+            F.array(F.size("s") + 1),
+        ).alias("nexts"),
     )
     runs = F.zip_with(
-        starts,
-        nexts,
+        "starts",
+        "nexts",
         lambda a, b: F.struct(
-            F.element_at(s, a).alias("term"), (b - a).cast("int").alias("tf")
+            F.element_at("s", a).alias("term"), (b - a).cast("int").alias("tf")
         ),
     )
     # sequence(1, 0) would descend — guard the empty-token case (blank
     # docs vanish here exactly as explode of an empty array would).
-    runs = F.when(n > 0, runs).otherwise(
+    runs = F.when(F.size("s") > 0, runs).otherwise(
         F.array().cast("array<struct<term:string,tf:int>>")
     )
     return (
-        tokenized.select("doc_id", "doc_len", F.explode(runs).alias("r"))
+        d.select("doc_id", "doc_len", F.explode(runs).alias("r"))
         .select("doc_id", "doc_len", F.col("r.term").alias("term"), F.col("r.tf").alias("tf"))
     )
 
