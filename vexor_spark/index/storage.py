@@ -246,9 +246,12 @@ def build_and_write_index(
     mode: str = "full",
 ) -> dict:
     """End-to-end artifact build WITHOUT materializing posting arrays:
-    pages → chunks → doc ids → tf → sorted streaming block encode →
-    partitioned parquet. One shuffle for ids, one for tf, one for the
-    bucket sort — no collect_list, no per-term JVM arrays (the path that
+    pages → chunks → doc ids → map-side tf → sorted streaming block
+    encode → partitioned parquet. One shuffle for ids, one for the
+    bucket sort — the per-(doc,term) tf never shuffles (term_freqs
+    computes run lengths inside the doc row, so the only exchange of
+    term rows left is the term-bucket repartition the encoder needs
+    anyway). No collect_list, no per-term JVM arrays (the path that
     survives head terms at 10^12 docs). Returns {docs, avg_doc_len,
     secs...} summary."""
     import time
