@@ -250,3 +250,51 @@ def test_noop_reports_live_view_docs(spark, tmp_path):
     assert s3["route"] == "noop"
     live = SegmentedIndex(spark, idx).doc_count
     assert s3["docs"] == live
+
+
+def test_measure_change_shape_sampled_early_exit(spark, tmp_path):
+    """diffuse_ratio enables the sampled early-exit: a diffuse change is
+    detected from a bounded sample (footprint monotone ⇒ a sample past
+    the threshold proves diffuse; `sampled` flags the lower bound), while
+    a concentrated change falls through to the exact pass (no flag,
+    same numbers as the exact call)."""
+    from vexor_spark.index.checkpoint import build_chunks_resumable
+
+    work, idx = tmp_path / "w5", tmp_path / "i5"
+    bodies = lambda i: "shared tiny vocab body common words"  # noqa: E731
+    update_index(_df(spark, _corpus(bodies=bodies)), work, idx, term_buckets=TERM_BUCKETS)
+
+    # diffuse: scattered unique-vocab edits; sample_docs=2 forces a real
+    # subsample at test scale
+    cur = {i: f"edited{i} fresh{i} body{i} new{i} zz{i} qq{i}" for i in range(0, N_PAGES, 2)}
+    st = build_chunks_resumable(_df(spark, _corpus(mutations=cur, bodies=bodies)), work)
+    changed = sorted(st["stale_buckets"] + st["removed_buckets"])
+    shape = measure_change_shape(
+        spark, Path(work), Path(idx), changed,
+        n_buckets=32, term_buckets=TERM_BUCKETS,
+        diffuse_ratio=0.05, sample_docs=2,
+    )
+    assert shape.get("sampled") is True
+    assert shape["bucket_ratio"] > 0.05
+
+    # concentrated: one tiny-vocab edit on a FRESH store (reusing the
+    # diffuse store would also revert every diffuse edit) — sampled
+    # probe stays under the threshold, so the exact pass runs and
+    # matches the unsampled call
+    work2, idx2 = tmp_path / "w6", tmp_path / "i6"
+    update_index(_df(spark, _corpus(bodies=bodies)), work2, idx2, term_buckets=TERM_BUCKETS)
+    cur2 = {3: "shared tiny vocab body common extra"}
+    st2 = build_chunks_resumable(_df(spark, _corpus(mutations=cur2, bodies=bodies)), work2)
+    changed2 = sorted(st2["stale_buckets"] + st2["removed_buckets"])
+    exact = measure_change_shape(
+        spark, Path(work2), Path(idx2), changed2,
+        n_buckets=32, term_buckets=TERM_BUCKETS,
+    )
+    gated = measure_change_shape(
+        spark, Path(work2), Path(idx2), changed2,
+        n_buckets=32, term_buckets=TERM_BUCKETS,
+        diffuse_ratio=0.25, sample_docs=1024,
+    )
+    assert "sampled" not in gated
+    assert gated["affected_term_buckets"] == exact["affected_term_buckets"]
+    assert gated["bucket_ratio"] <= 0.25

@@ -94,6 +94,8 @@ def measure_change_shape(
     *,
     n_buckets: int,
     term_buckets: int,
+    diffuse_ratio: float | None = None,
+    sample_docs: int = 512,
 ) -> dict:
     """Affected-term-bucket footprint of a change — the routing signal.
 
@@ -102,7 +104,19 @@ def measure_change_shape(
     grow); a term bucket is affected iff it holds any such term. Both
     sides tokenize only changed-bucket docs, so the measurement costs
     ∝ the change — it never scans the corpus. (Base-only: callers
-    route to delta before measuring when segments are live.)"""
+    route to delta before measuring when segments are live.)
+
+    Sampled early-exit (`diffuse_ratio`): the bucket footprint is
+    MONOTONE in the doc set, so a bounded sample's footprint is a lower
+    bound on the true one — if `sample_docs` docs per side already
+    touch > diffuse_ratio of the term buckets, the change is provably
+    diffuse and the full tokenize pass is skipped (routing to delta on
+    a sampled "diffuse" verdict can never be a false in-place). Only a
+    concentrated-LOOKING sample pays the exact pass — exactly the case
+    where in-place is on the table and the measurement is worth its
+    price. At 2M×1% the exact pass cost 12.4 s on top of a 30.6 s
+    delta build (BENCH_R06_SCALE inplace_shape_2M); the sampled exit
+    is two ~512-doc jobs."""
     old_docs = (
         spark.read.parquet(str(index_dir / "docs"))
         .withColumn("bucket", _bucket_col(F.col("url"), n_buckets))
@@ -110,33 +124,52 @@ def measure_change_shape(
     )
     chunks_dir = work_dir / "chunks"
     present = [b for b in changed if (chunks_dir / f"bucket={b}").exists()]
-    frames = [
-        tokenize_docs(with_document(old_docs), "document")
-        .select(F.explode("tokens").alias("term"))
-    ]
+    new_chunks = None
     if present:
         new_chunks = (
             spark.read.option("basePath", str(chunks_dir))
             .parquet(*[str(chunks_dir / f"bucket={b}") for b in present])
             .drop("bucket")
         )
-        frames.append(
-            tokenize_docs(with_document(new_chunks), "document")
-            .select(F.explode("tokens").alias("term"))
+
+    def _footprint(limit: int | None) -> int:
+        frames = []
+        for src in (old_docs, new_chunks):
+            if src is None:
+                continue
+            d = src.limit(limit) if limit else src
+            frames.append(
+                tokenize_docs(with_document(d), "document")
+                .select(F.explode("tokens").alias("term"))
+            )
+        terms = frames[0]
+        for f_ in frames[1:]:
+            terms = terms.unionByName(f_)
+        return int(
+            terms.select(
+                F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .count()
         )
-    terms = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
-    n_affected = (
-        terms.select(
-            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("b")
-        )
-        .distinct()
-        .count()
-    )
-    return {
+
+    sampled = False
+    if diffuse_ratio is not None and sample_docs > 0:
+        n_affected = _footprint(sample_docs)
+        if term_buckets and n_affected / term_buckets > diffuse_ratio:
+            sampled = True  # lower bound already past the threshold
+        else:
+            n_affected = _footprint(None)
+    else:
+        n_affected = _footprint(None)
+    out = {
         "affected_term_buckets": int(n_affected),
         "term_buckets_total": int(term_buckets),
         "bucket_ratio": (n_affected / term_buckets) if term_buckets else 1.0,
     }
+    if sampled:
+        out["sampled"] = True  # footprint is a ≥-diffuse lower bound
+    return out
 
 
 def compaction_due(
@@ -248,6 +281,7 @@ def update_index(
             shape = measure_change_shape(
                 spark, work_dir, index_dir, changed,
                 n_buckets=n_buckets, term_buckets=tb,
+                diffuse_ratio=inplace_max_bucket_ratio,
             )
             if shape["bucket_ratio"] <= inplace_max_bucket_ratio:
                 summary = _incremental_merge(

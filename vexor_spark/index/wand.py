@@ -69,6 +69,13 @@ MAX_CANDIDATES = 200_000
 SEED_REFINE_MAX_TERMS = 8
 SEED_POOL_MAX = 512
 
+# Batch pruning engages only when the pruned queries' PRIVATE terms
+# (the only ones whose blocks can leave the shared scan) carry at least
+# this fraction of the batch's total matched df — below it the
+# candidate pass costs more than any possible decode reduction
+# (pruned_multi's free-or-winning rule; dict-only, measured at 2M).
+MIN_BATCH_DROPPABLE_DF_FRACTION = 0.02
+
 
 
 def _idf(df: int, n: int) -> float:
@@ -425,6 +432,27 @@ def pruned_multi(
             continue
         pruned[name] = (theta, rest, terms_q)
     if not pruned:
+        return None
+
+    # Free-or-winning for the BATCH (round-6, measured at 2M): a block
+    # is dropped from the shared scan only when NO unpruned query uses
+    # its term (thr_all = −1 otherwise), so the reduction potential
+    # lives entirely in the pruned queries' PRIVATE terms. On a batch
+    # whose engaged (head) queries share their terms with unpruned
+    # (phrase) queries, that set is empty — the candidate pass then
+    # re-decodes huge lists for a provably-zero reduction (measured:
+    # 151 s pruned vs 78 s unpruned at 2M/8 segs, blocks_decoded ==
+    # blocks_total). Both checks are dict-only, so declining is free.
+    droppable = {
+        t for _n, (_th, _rest, tq) in pruned.items() for t in tq
+    } - unpruned_terms
+    if not droppable:
+        return None
+    tot_df = sum(tdict[t][0] for t in present)
+    if tot_df and (
+        sum(tdict[t][0] for t in droppable) / tot_df
+        < MIN_BATCH_DROPPABLE_DF_FRACTION
+    ):
         return None
 
     INF = float("inf")
