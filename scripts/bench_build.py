@@ -42,6 +42,16 @@ def main() -> None:
     from vexor_spark.index.storage import PersistedIndex, write_index
     from vexor_spark.sources.corpus import generate_pages_df, query_suite
 
+    # A/B switch for the round-6 map-side tf: VEXOR_TF_IMPL=shuffle
+    # rebinds the module attribute, which build_and_write_index picks
+    # up through its call-time import — same build, one variable.
+    import os as _os
+
+    if _os.environ.get("VEXOR_TF_IMPL") == "shuffle":
+        from vexor_spark.operators import postings as _postings
+
+        _postings.term_freqs = _postings.term_freqs_shuffle
+
     spark = SparkSession.builder.getOrCreate()
     work = Path(args.workdir or tempfile.mkdtemp(prefix="vexor_bench_"))
     work.mkdir(parents=True, exist_ok=True)
