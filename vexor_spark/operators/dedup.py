@@ -34,6 +34,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vexor_spark.functions.fasthash import poly_hash_text_udf, poly_hash_tokens_udf
 from vexor_spark.operators.textstats import HASH_MOD, poly_hash_col
 
 # Deterministic MinHash parameters (a, b): h_j(x) = (a·h(x) + b) % M.
@@ -96,7 +97,7 @@ def shingle_hash_rows(
     token-hash array evaluated once per row); signatures and verify
     sets both aggregate from here (map-side partial agg → one shuffled
     row per doc)."""
-    with_th = docs.withColumn("_th", F.transform(tokens_col, lambda t: poly_hash_col(t)))
+    with_th = docs.withColumn("_th", poly_hash_tokens_udf(tokens_col))
     return with_th.select(
         "doc_id", F.explode(shingle_hashes_from(F.col("_th"), shingle_n)).alias("h")
     )
@@ -308,9 +309,7 @@ def simhash_table(
     case."""
     hashed = docs.select(
         id_col,
-        F.explode_outer(
-            F.transform(tokens_col, lambda t: poly_hash_col(t))
-        ).alias("h"),
+        F.explode_outer(poly_hash_tokens_udf(tokens_col)).alias("h"),
     )
     counts = hashed.groupBy(id_col).agg(
         F.count("h").alias("n"),
@@ -404,9 +403,7 @@ def simhash_near_dup_pairs(
     for high-entropy corpora / wider production hashes (64-bit).
     """
     blocks = hamming_max + 1
-    with_th = docs.withColumn(
-        "_th", F.transform(tokens_col, lambda t: poly_hash_col(t))
-    )
+    with_th = docs.withColumn("_th", poly_hash_tokens_udf(tokens_col))
     # lazy localCheckpoint: per_doc feeds five consumers below and the
     # per-row HOF folds are expensive — materialize once (same reason
     # as the 64-bit arm).
@@ -480,9 +477,7 @@ def simhash64_table(
     `hashed=True` means tokens_col already holds the poly-hash array
     (share the `_th` projection barrier with the shingle machinery)."""
     tok_hashes = (
-        F.col(tokens_col)
-        if hashed
-        else F.transform(tokens_col, lambda t: poly_hash_col(t))
+        F.col(tokens_col) if hashed else poly_hash_tokens_udf(tokens_col)
     )
     hashed_rows = docs.select(id_col, F.explode_outer(tok_hashes).alias("h"))
     derived = hashed_rows.select(
@@ -553,9 +548,7 @@ def simhash64_near_dup_pairs(
     sets — at scale both sides are shuffles on doc_id, and the pair
     join is skew-capped like LSH."""
     blocks = hamming_max + 1
-    with_th = docs.withColumn(
-        "_th", F.transform(tokens_col, lambda t: poly_hash_col(t))
-    )
+    with_th = docs.withColumn("_th", poly_hash_tokens_udf(tokens_col))
     sh = with_th.select(
         "doc_id",
         F.array_sort(
@@ -694,7 +687,7 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whole-text rolling hash; representative = min doc_id (the
     keep-one-copy policy)."""
     return (
-        docs.select("doc_id", poly_hash_col(F.col(text_col)).alias("fingerprint"))
+        docs.select("doc_id", poly_hash_text_udf(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").cast("long").alias("rep_doc_id"),

@@ -47,8 +47,14 @@ def poly_hash_col(s: Column) -> Column:
 
 
 def fingerprint_col(text: Column) -> Column:
-    """Whole-document rolling-hash fingerprint (T10 analog at doc level)."""
-    return poly_hash_col(text)
+    """Whole-document rolling-hash fingerprint (T10 analog at doc
+    level). Same value as poly_hash_col, computed by the vectorized
+    Arrow kernel (functions/fasthash.py — the per-character HOF fold
+    costs an interpreted expression eval per char; whole documents are
+    the worst case)."""
+    from vexor_spark.functions.fasthash import poly_hash_text_udf
+
+    return poly_hash_text_udf(text)
 
 
 def ws_token_count_col(text: Column) -> Column:

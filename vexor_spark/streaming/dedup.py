@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vexor_spark.operators.textstats import poly_hash_col
+from vexor_spark.functions.fasthash import poly_hash_text_udf
 
 
 def dedup_stream(
@@ -35,7 +35,9 @@ def dedup_stream(
     `fingerprint`. State per distinct fingerprint, expired at
     `watermark` past the max seen event time."""
     return (
-        docs.withColumn("fingerprint", poly_hash_col(F.col(text_col)))
+        # vectorized Arrow fingerprint kernel (same value as
+        # poly_hash_col; pandas UDFs are supported on streaming frames)
+        docs.withColumn("fingerprint", poly_hash_text_udf(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
