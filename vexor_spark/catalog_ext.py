@@ -381,8 +381,11 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
 def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """(doc_id, score) raw BM25 over the documents table."""
-    from vexor_spark.operators.postings import term_freqs, tokenize_docs
+    """(doc_id, score) raw BM25 over the documents table. Matched
+    (doc, term, tf) rows via explode + InSet filter + two-phase count —
+    whole-stage codegen, non-query tokens dropped before any exchange
+    (round-7, same shape as scoring.bm25_topk_multi)."""
+    from vexor_spark.operators.postings import tokenize_docs
     from vexor_spark.operators.scoring import bm25_contribution_col
 
     docs = docs_table(spark, sf_dir)
@@ -394,9 +397,11 @@ def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
     stats = tokenized.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
     terms = prepare_query_terms(query)
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens")).join(
-        F.broadcast(qdf), "term"
+    tf = (
+        tokenized.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
@@ -1250,12 +1255,12 @@ def q_keyword_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, term asc)."""
     d = docs_table(spark, sf_dir)
     words = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z][a-z0-9_-]+"), 0)
-    sw = F.array(*[F.lit(w) for w in KEYWORD_STOPWORDS])
-    filtered = F.filter(
-        words, lambda t: (F.length(t) >= 3) & ~F.array_contains(sw, t)
-    )
+    # filter AFTER the explode: length + InSet stopword tests run as
+    # whole-stage-codegen row predicates instead of an interpreted
+    # array HOF with a per-element array_contains scan (round-7).
     counted = (
-        d.select(F.explode(filtered).alias("term"))
+        d.select(F.explode(words).alias("term"))
+        .filter((F.length("term") >= 3) & ~F.col("term").isin(*KEYWORD_STOPWORDS))
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

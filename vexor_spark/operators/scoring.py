@@ -135,10 +135,18 @@ def bm25_topk_multi(
 ) -> DataFrame:
     """(query, rank, doc_id, score) for a batch of queries in ONE plan:
     the query-term table carries a query label, scoring groups by
-    (query, doc_id), ranking is a window partitioned by query."""
+    (query, doc_id), ranking is a window partitioned by query.
+
+    Matched (doc, term, tf) rows come from explode + an InSet filter on
+    the ≤32·|queries| query terms + a two-phase count aggregation — all
+    whole-stage codegen, and non-query tokens are dropped BEFORE any
+    aggregation or exchange (round-7; guide §2.3/§4.1). The previous
+    shape computed full-corpus term_freqs (array_sort + interpreted
+    HOF run-length over every token) and then broadcast-joined the
+    query terms — paying the whole-vocabulary tf cost for ≤32 terms."""
     from pyspark.sql import Window
 
-    from vexor_spark.operators.postings import term_freqs, tokenize_docs
+    from vexor_spark.operators.postings import tokenize_docs
 
     spark = docs.sparkSession
     qrows = [
@@ -161,7 +169,13 @@ def bm25_topk_multi(
     if not qrows or doc_count <= 0 or avg_doc_len <= 0:
         return spark.createDataFrame([], "query string, rank long, doc_id long, score double")
     qdf = spark.createDataFrame(qrows, "query string, term string")
-    tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens"))
+    terms_all = sorted({t for _, t in qrows})
+    tf = (
+        tokenized.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms_all))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
     matched = tf.join(F.broadcast(qdf), "term")
     # df per term over matched rows == full-corpus document frequency
     # (tf has exactly one row per (doc, term)). ≤ 32·|queries| rows →
