@@ -111,7 +111,10 @@ def test_engine_topk_matches_reference_scoring(spark):
     for q in [query_suite(n)[i]["query"] for i in (0, 4, 11, 20, 27)]:
         terms = list(dict.fromkeys(ref_bm25.tokenize(q)))[: ref_bm25.MAX_QUERY_TERMS]
         ref_scores = ref_bm25.score_postings(terms, postings, doc_count, avgdl)
-        want = sorted(ref_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        # engine default ranks on 6dp-rounded scores (round-7 public
+        # contract) — rank the reference scores the same way.
+        rounded = {d: round(s, 6) for d, s in ref_scores.items()}
+        want = sorted(rounded.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         got = [
             (r["doc_id"], r["score"])
             for r in index.search(q, k=10).select("doc_id", "score").collect()

@@ -25,6 +25,7 @@ from vexor_spark.constants import (
     RRF_BM25_WEIGHT,
     RRF_DENSE_WEIGHT,
     RRF_K,
+    SCORE_ROUND_DP,
     TOKEN_PATTERN,
     UTF8_BYTE_MULTIPLIER,
 )
@@ -432,17 +433,34 @@ def weighted_rerank_search(index: dict, query: str, k: int = 10) -> list[tuple[i
     return fused[:k]
 
 
-def search(index: dict, query: str, k: int = 10) -> list[tuple[int, float]]:
-    """BM25 top-k over a build_corpus_index() result."""
+def search(
+    index: dict, query: str, k: int = 10, *, round_dp: int | None = SCORE_ROUND_DP
+) -> list[tuple[int, float]]:
+    """BM25 top-k over a build_corpus_index() result.
+
+    Ranks on SCORE_ROUND_DP-rounded scores by default — the engine's
+    public ranking contract (round-7): raw float sums are shuffle-order
+    dependent at the ulp level, so every public search arm rounds
+    before ranking and breaks ties by doc_id. Pass round_dp=None for
+    the raw-score order (k-boundary-tolerant comparisons only)."""
     terms = prepare_query_terms(query)
     scores = score_postings(terms, index["postings"], index["doc_count"], index["avg_doc_len"])
+    if round_dp is not None:
+        scores = {d: round(s, round_dp) for d, s in scores.items()}
     return top_k(scores, k)
 
 
-def search_filtered(index: dict, query: str, k: int, url_prefix: str) -> list[tuple[int, float]]:
+def search_filtered(
+    index: dict, query: str, k: int, url_prefix: str,
+    *, round_dp: int | None = SCORE_ROUND_DP,
+) -> list[tuple[int, float]]:
     """Post-hoc filter semantics (F5/O6): full-corpus df/avgdl, results
-    narrowed to docs whose url starts with the prefix, then top-k."""
+    narrowed to docs whose url starts with the prefix, then top-k (on
+    rounded scores by default — same contract as search())."""
     terms = prepare_query_terms(query)
     scores = score_postings(terms, index["postings"], index["doc_count"], index["avg_doc_len"])
     allowed = {d[0] for d in index["docs"] if d[1].startswith(url_prefix)}
-    return top_k({doc: s for doc, s in scores.items() if doc in allowed}, k)
+    kept = {doc: s for doc, s in scores.items() if doc in allowed}
+    if round_dp is not None:
+        kept = {d: round(s, round_dp) for d, s in kept.items()}
+    return top_k(kept, k)
