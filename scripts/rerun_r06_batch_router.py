@@ -23,15 +23,19 @@ def main():
     from vexor_spark.sources.corpus import query_suite_extended
 
     workroot = Path("/tmp/scale_r05")
-    out = json.loads(ARTIFACT.read_text())
+    out = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
     suite = query_suite_extended(100_000)
     probe_batch(spark, workroot, suite, out)
+    # persist the (expensive) batch-probe results immediately — the
+    # in-place recheck below can fail without losing them (round-6
+    # ADVICE: unguarded key reads crashed after the probe pass).
+    _save(out)
 
     n_buckets = DEFAULT_INPUT_BUCKETS
     pages = spark.read.parquet(str(workroot / "pages"))
     base_idx = workroot / "inplace_idx_base"
     work = workroot / "inplace_work"
-    rec = out["inplace_shape_2M"]
+    rec = out.setdefault("inplace_shape_2M", {})
     if (base_idx / "meta.json").exists():
         new_pages = _mutate(pages, [17], "r6ip", n_buckets)
 
@@ -62,8 +66,9 @@ def main():
             "action": s["action"], "secs": round(time.time() - t0, 1),
         }
         print("DELTA2", json.dumps(rec["forced_delta_recheck"]), flush=True)
+        forced_inplace = rec.get("forced_inplace") or {}
         rec["router_choice_cheapest"] = rec["router_sampled"]["secs"] <= min(
-            rec["forced_inplace"]["secs"],
+            forced_inplace.get("secs", 1e9),
             rec["forced_delta_recheck"]["secs"],
             rec.get("full_build_secs", 1e9),
         ) * 1.1

@@ -77,6 +77,7 @@ from vexor_spark.index.checkpoint import (
     build_chunks_resumable,
 )
 from vexor_spark.index.merge import DOC_COLS, full_merge
+from vexor_spark.constants import SCORE_ROUND_DP
 from vexor_spark.index.storage import PersistedIndex, decode_postings_udf
 from vexor_spark.functions.tokenize import prepare_query_terms
 from vexor_spark.operators.chunking import with_document
@@ -832,26 +833,35 @@ class SegmentedIndex:
         )
 
     def _term_blocks_for_theta(self, t_star: str):
-        """θ-walk inputs (wand._theta_driver): t_star's BASE block rows
-        + the tombstoned-doc exclusion set. Tombstoned docs must not
-        contribute to θ (their base postings are dead — counting one
-        would break θ's lower-bound property); segment postings are
-        ignored, which only weakens θ (sound). Returns ([], None) when
-        the tombstone map exceeds the driver budget — wand then falls
-        back to unpruned scoring."""
+        """θ-walk inputs (wand): t_star's BASE block METADATA rows
+        (block_id, first, last, block_ub, n — blobs fetched lazily via
+        _theta_blobs, see PersistedIndex) + the tombstoned-doc
+        exclusion set. Tombstoned docs must not contribute to θ (their
+        base postings are dead — counting one would break θ's
+        lower-bound property); segment postings are ignored, which only
+        weakens θ (sound). Returns ([], None) when the tombstone map
+        exceeds the driver budget — wand then falls back to unpruned
+        scoring."""
         total = sum(s["n_removed"] for s in self.manifest["segments"])
         if total > self.TOMB_DRIVER_MAX:
             return [], None
         arrays = self._tombstone_arrays()
-        by_term, _dfs = self.base._term_blocks_cached([t_star])
-        return by_term.get(t_star) or [], (arrays[0] if arrays is not None else None)
+        meta, _exc = self.base._term_blocks_for_theta(t_star)
+        return meta, (arrays[0] if arrays is not None else None)
+
+    def _theta_blobs(self, term: str, bids: list):
+        """Lazy blob fetch for the θ machinery — θ walks base blocks
+        only, so delegate to the base index."""
+        return self.base._theta_blobs(term, bids)
 
     def search_distributed(
         self, query: str, k: int = 10, *, prune: bool = True,
-        metrics: dict | None = None, round_dp: int | None = None,
+        metrics: dict | None = None, round_dp: int | None = SCORE_ROUND_DP,
     ) -> DataFrame:
         """(rank, doc_id, score) over the merged view — exact (equal to
-        a full rebuild of the current corpus, test_delta.py). With
+        a full rebuild of the current corpus, test_delta.py); ranks on
+        round_dp-rounded scores by default (round-7 public ranking
+        contract, matching PersistedIndex.search_distributed). With
         prune=True (default), block-max pruning runs over ALL layers
         with a tombstone-aware θ (round-5 verdict item 1: under the
         cadence-4 compaction default the production index almost always
@@ -885,6 +895,7 @@ class SegmentedIndex:
     def search_distributed_multi(
         self, queries: dict[str, str], k: int = 10, *,
         prune: bool = True, metrics: dict | None = None,
+        round_dp: int | None = SCORE_ROUND_DP,
     ) -> DataFrame:
         """(query, rank, doc_id, score) for a WHOLE query batch in ONE
         job over the layered view — PersistedIndex.
@@ -928,7 +939,10 @@ class SegmentedIndex:
         if prune:
             from vexor_spark.index.wand import pruned_multi
 
-            exploded = pruned_multi(self, qterms, k, metrics=metrics)
+            slack = 1.5 * 10.0 ** (-round_dp) if round_dp is not None else 0.0
+            exploded = pruned_multi(
+                self, qterms, k, metrics=metrics, theta_slack=slack
+            )
         if exploded is None:
             exploded = self._exploded_rows(self._matched_blocks(present))
         scored = (
@@ -938,6 +952,8 @@ class SegmentedIndex:
             .groupBy("query", "doc_id")
             .agg(F.sum("contribution").alias("score"))
         )
+        if round_dp is not None:
+            scored = scored.withColumn("score", F.round("score", round_dp))
         w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w).cast("long"))

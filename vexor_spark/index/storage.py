@@ -44,6 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vexor_spark.constants import SCORE_ROUND_DP
 from vexor_spark.functions.codec import (
     POSTING_BLOCK_SIZE,
     decode_postings_udf,
@@ -61,13 +62,18 @@ from vexor_spark.operators.scoring import (
 FORMAT_VERSION = 2  # plays the role of CACHE_VERSION (vexor/cache.py:28)
 
 
-def _topk_np(ids, scores, k: int) -> list[tuple[int, int, float]]:
+def _topk_np(ids, scores, k: int, *, round_dp: int | None = None) -> list[tuple[int, int, float]]:
     """[(rank, doc_id, score)] by (score desc, doc_id asc) — the
-    argpartition-then-sort trick (search_service.py:176-182)."""
+    argpartition-then-sort trick (search_service.py:176-182).
+    round_dp rounds BEFORE ranking (the public ranking contract —
+    np.round is half-even, identical to Spark's HALF_UP on doubles
+    because decimal midpoints are not representable in binary)."""
     import numpy as np
 
     if len(ids) == 0:
         return []
+    if round_dp is not None:
+        scores = np.round(scores, round_dp)
     if k < len(ids):
         kth = np.partition(scores, len(scores) - k)[len(scores) - k]
         cand = np.flatnonzero(scores >= kth)  # includes ALL kth-score ties
@@ -290,11 +296,24 @@ def build_and_write_index(
     dictionary = blocks.groupBy("term", "term_bucket").agg(
         F.first("df").alias("df"), F.max("block_ub").alias("max_kernel")
     ).select("term", "term_bucket", "df", "max_kernel")
-    dictionary.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        str(index_dir / "dict")
-    )
+    # repartition by the hive key BEFORE the partitioned write: the
+    # groupBy leaves every bucket's rows spread over all post-shuffle
+    # partitions (AQE coalesces to ~defaultParallelism), so each task
+    # wrote a file into EVERY bucket dir — tasks × buckets tiny files,
+    # growing with core count (the round-6 inverted dict/docs/stats
+    # stage: 12.4 s at n8 → 39.8 s at n32 on 2M pages). One exchange
+    # on term_bucket makes it one file per bucket dir, independent of
+    # parallelism (guide §6 small files; write_index already did this).
+    dictionary.repartition(F.col("term_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(str(index_dir / "dict"))
     blocks.unpersist()
-    doc_table.write.mode("overwrite").parquet(str(index_dir / "docs"))
+    # docs: bound the file count by corpus size, not by parallelism —
+    # ~250k docs (~15-30 MB) per file, floor 8 for parallel reads.
+    n_doc_files = max(8, min(256, doc_count // 250_000 + 1))
+    doc_table.coalesce(n_doc_files).write.mode("overwrite").parquet(
+        str(index_dir / "docs")
+    )
     doc_table.sparkSession.createDataFrame(
         [(doc_count, avgdl)], "doc_count long, avg_doc_len double"
     ).write.mode("overwrite").parquet(str(index_dir / "stats"))
@@ -354,6 +373,9 @@ class PersistedIndex:
         # like the reference reopens its SQLite cache).
         self._term_cache: "dict[str, tuple[list, int]]" = {}
         self.term_cache_max = 4096
+        # Metadata-only block rows (no blobs) for the θ machinery —
+        # tiny (5 ints per block), bounded like the full cache.
+        self._term_meta_cache: "dict[str, list]" = {}
         # Second-level cache: fully-decoded (doc_ids, contributions)
         # per term — repeated terms across queries skip the varint
         # decode entirely. Bounded by TOTAL cached postings, since one
@@ -380,11 +402,67 @@ class PersistedIndex:
         ).withColumn("_layer", F.lit(0))
 
     def _term_blocks_for_theta(self, t_star: str):
-        """(block rows of t_star, excluded-doc-id array or None) for the
-        driver-side θ walk (wand._theta_driver). The base index has no
+        """(block METADATA rows of t_star, excluded-doc-id array or
+        None) for the driver-side θ machinery (wand). Metadata rows are
+        (block_id, first, last, block_ub, n) — NO blobs: the θ walk
+        typically decodes one block and the seed probe a handful, while
+        a head term carries thousands of blocks whose encoded payloads
+        dominated the old eager read (round-6 verdict #2: the probe
+        cost the head class +13% at 2M for zero wins). Blobs are
+        fetched per block via _theta_blobs. The base index has no
         tombstones, so nothing is excluded."""
-        by_term, _dfs = self._term_blocks_cached([t_star])
-        return by_term.get(t_star) or [], None
+        if t_star in self._term_cache:
+            blocks, _df = self._term_cache[t_star]
+            return [b[:5] for b in blocks], None
+        meta = self._term_meta_cache.get(t_star)
+        if meta is None:
+            tbl = self._arrow_read(
+                "postings",
+                [t_star],
+                ["block_id", "block_first", "block_last", "block_ub", "n"],
+            )
+            meta = sorted(
+                zip(
+                    tbl.column("block_id").to_pylist(),
+                    tbl.column("block_first").to_pylist(),
+                    tbl.column("block_last").to_pylist(),
+                    tbl.column("block_ub").to_pylist(),
+                    (int(x) for x in tbl.column("n").to_pylist()),
+                )
+            )
+            self._term_meta_cache[t_star] = meta
+            while len(self._term_meta_cache) > self.term_cache_max:
+                self._term_meta_cache.pop(next(iter(self._term_meta_cache)))
+        return meta, None
+
+    def _theta_blobs(self, term: str, bids: list[int]) -> dict[int, bytes]:
+        """{block_id: blob} for specific blocks of one term — the lazy
+        payload fetch behind the θ walk / seed probe (metadata comes
+        from _term_blocks_for_theta). Serves from the full term cache
+        when present; otherwise a filtered pyarrow read of just the
+        requested blocks' blob column."""
+        if not bids:
+            return {}
+        if term in self._term_cache:
+            want = set(bids)
+            blocks, _df = self._term_cache[term]
+            return {b[0]: b[5] for b in blocks if b[0] in want}
+        import pyarrow.dataset as pads
+
+        buckets = sorted(
+            set(term_buckets_for(self.spark, [term], self.term_buckets).values())
+        )
+        tbl = self._dataset("postings").to_table(
+            columns=["block_id", "blob"],
+            filter=(
+                pads.field("term_bucket").isin(buckets)
+                & (pads.field("term") == term)
+                & pads.field("block_id").isin([int(b) for b in bids])
+            ),
+        )
+        return dict(
+            zip(tbl.column("block_id").to_pylist(), tbl.column("blob").to_pylist())
+        )
 
     def _dataset(self, subdir: str):
         """pyarrow dataset handle, opened once per subdir — directory
@@ -453,25 +531,33 @@ class PersistedIndex:
     # --- query paths --------------------------------------------------------
 
     def search_local(
-        self, query: str, k: int = 10, *, prune: bool = True
+        self, query: str, k: int = 10, *, prune: bool = True,
+        round_dp: int | None = SCORE_ROUND_DP,
     ) -> list[tuple[int, int, float]]:
         """[(rank, doc_id, score)] — zero-Spark-job serving path.
 
-        prune=True runs exact term-at-a-time max-score pruning with
-        block skipping (see _search_local_pruned); prune=False decodes
-        every matched list (the reference's own flow,
-        vexor/cache.py:1492-1535 → bm25.score_postings) — kept for
-        equivalence testing.
+        Ranks on round_dp-rounded scores by default (the round-7 public
+        ranking contract — raw float order is summation-order dependent
+        at the ulp level; rounded order + doc_id tiebreak is stable
+        across arms). prune=True runs exact term-at-a-time max-score
+        pruning with block skipping (see _search_local_pruned — its
+        freeze threshold carries the rounding slack so boundary-tie
+        docs are never dropped); prune=False decodes every matched
+        list (the reference's own flow, vexor/cache.py:1492-1535 →
+        bm25.score_postings) — kept for equivalence testing.
         """
         terms = prepare_query_terms(query)
         if not terms or self.doc_count <= 0 or self.avg_doc_len <= 0:
             return []
         by_term, dfs = self._term_blocks_cached(terms)
         if prune:
-            ids, scores = self._search_local_pruned(terms, by_term, dfs, k)
+            slack = 1.5 * 10.0 ** (-round_dp) if round_dp is not None else 0.0
+            ids, scores = self._search_local_pruned(
+                terms, by_term, dfs, k, theta_slack=slack
+            )
         else:
             ids, scores = self._score_all_np(terms, by_term, dfs)
-        return _topk_np(ids, scores, k)
+        return _topk_np(ids, scores, k, round_dp=round_dp)
 
     def _term_blocks_cached(self, terms: list[str]):
         """{term: sorted block rows}, {term: df} — LRU-cached pyarrow
@@ -584,6 +670,8 @@ class PersistedIndex:
         by_term: dict[str, list],
         dfs: dict[str, int],
         k: int,
+        *,
+        theta_slack: float = 0.0,
     ):
         """Exact TAAT max-score: process terms in descending upper-bound
         order, accumulating full contributions (vectorized); once the
@@ -653,7 +741,11 @@ class PersistedIndex:
                 if len(cand) >= k:
                     part = acc[cand]
                     theta = np.partition(part, len(part) - k)[len(part) - k]
-                    if remaining < theta:
+                    # theta_slack (rounded-rank contract): an unseen
+                    # doc with score in [θ − slack, θ) could round
+                    # into a k-th-place tie — only freeze when no
+                    # unseen doc can get that close.
+                    if remaining < theta - theta_slack:
                         frozen = cand
                         frozen_mask = seen
         uniq = np.flatnonzero(seen)
@@ -697,11 +789,16 @@ class PersistedIndex:
 
     def search_distributed(
         self, query: str, k: int = 10, *, prune: bool = True,
-        metrics: dict | None = None, round_dp: int | None = None,
+        metrics: dict | None = None, round_dp: int | None = SCORE_ROUND_DP,
     ) -> DataFrame:
         """(rank, doc_id, score) DataFrame — executor-side decode+score;
-        with prune=True (the default since round 5), block-max pruned
-        (exact — see wand.py). Pruning is now free when it cannot win:
+        ranks on round_dp-rounded scores by default (round-7 public
+        ranking contract: raw distributed float sums are shuffle-order
+        dependent at the ulp level; rounding + doc_id tiebreak makes
+        the order partitioning-invariant — pass round_dp=None for raw
+        scores/raw order). With prune=True (the default since round
+        5), block-max pruned (exact — see wand.py). Pruning is now
+        free when it cannot win:
         a driver-side dict check skips the θ pass whenever no query
         term has df ≥ k (wand.pruned_scores), so tail-term queries pay
         the unpruned price and head-term queries skip decoding most
@@ -727,10 +824,14 @@ class PersistedIndex:
     def search_distributed_multi(
         self, queries: dict[str, str], k: int = 10, *,
         prune: bool = True, metrics: dict | None = None,
+        round_dp: int | None = SCORE_ROUND_DP,
     ) -> DataFrame:
         """(query, rank, doc_id, score) for a WHOLE query batch in ONE
         distributed job — the bm25_topk_multi pattern applied to the
-        persisted artifact (round-3 verdict item 8).
+        persisted artifact (round-3 verdict item 8). Per-query ranks
+        are over round_dp-rounded scores by default (the round-7
+        public ranking contract, matching search_distributed — the
+        pruning thresholds carry the corresponding slack).
 
         Shape: one postings scan bucket-pruned to the UNION of the
         batch's terms, one varint decode per matched block (a term
@@ -769,7 +870,10 @@ class PersistedIndex:
         if prune:
             from vexor_spark.index.wand import pruned_multi
 
-            exploded = pruned_multi(self, qterms, k, metrics=metrics)
+            slack = 1.5 * 10.0 ** (-round_dp) if round_dp is not None else 0.0
+            exploded = pruned_multi(
+                self, qterms, k, metrics=metrics, theta_slack=slack
+            )
         if exploded is None:
             exploded = self._exploded_rows(self._matched_blocks(terms_all))
         contrib = bm25_contribution_col(
@@ -782,6 +886,8 @@ class PersistedIndex:
             .groupBy("query", "doc_id")
             .agg(F.sum("contribution").alias("score"))
         )
+        if round_dp is not None:
+            scored = scored.withColumn("score", F.round("score", round_dp))
         w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w).cast("long"))

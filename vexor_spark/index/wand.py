@@ -63,11 +63,14 @@ from vexor_spark.functions.codec import decode_postings_udf
 MAX_CANDIDATES = 200_000
 
 # Seed-refined θ (round-6): bounds on the driver-side exact-scoring
-# pass. Refinement loads each query term's block rows into the pyarrow
-# term cache (the same read warm() does), so cap the term count; the
-# pool cap bounds the per-seed lookup work.
+# pass. Round-7: the probe reads block METADATA only (5 ints/block)
+# and fetches the few blobs it actually decodes lazily
+# (_term_blocks_for_theta / _theta_blobs), so its fixed cost is tiny;
+# SEED_PROBE_MAX_BLOCKS bounds the worst-case decode count outright
+# (exceeding it returns θ=0 — a weaker bound, never unsound).
 SEED_REFINE_MAX_TERMS = 8
 SEED_POOL_MAX = 512
+SEED_PROBE_MAX_BLOCKS = 96
 
 # Batch pruning engages only when the pruned queries' PRIVATE terms
 # (the only ones whose blocks can leave the shared scan) carry at least
@@ -90,29 +93,48 @@ def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
     the comparison can use raw kernels). Cost: usually one 128-posting
     block; never a Spark job.
 
-    `pidx._term_blocks_for_theta` supplies (blocks, excluded ids): a
-    SegmentedIndex walks its BASE blocks but must drop tombstoned docs
-    — a θ that counted a dead doc's contribution would not lower-bound
-    the live k-th best score (the round-5 verdict's soundness point).
-    Excluding docs only weakens θ, so the walk stays exact-or-
-    conservative; segment-layer postings are ignored for the same
-    reason (sound: θ is a lower bound, not a max)."""
+    `pidx._term_blocks_for_theta` supplies (block METADATA, excluded
+    ids) — round-7: blobs are fetched per decoded block
+    (pidx._theta_blobs), so a head term's thousands of encoded blocks
+    never reach the driver for a walk that decodes one or two. The
+    walk result is memoized per (t_star, k) on the index instance
+    (same lifecycle as the term cache: a reopen after updates starts
+    fresh) — repeated queries sharing a t* skip the walk entirely.
+
+    A SegmentedIndex walks its BASE blocks but must drop tombstoned
+    docs — a θ that counted a dead doc's contribution would not
+    lower-bound the live k-th best score (the round-5 verdict's
+    soundness point). Excluding docs only weakens θ, so the walk stays
+    exact-or-conservative; segment-layer postings are ignored for the
+    same reason (sound: θ is a lower bound, not a max)."""
     import numpy as np
 
     from vexor_spark.constants import BM25_B, BM25_K1
     from vexor_spark.functions.codec import decode_blocks_np
 
+    memo = getattr(pidx, "_theta_walk_memo", None)
+    if memo is None:
+        memo = pidx._theta_walk_memo = {}
+    mkey = (t_star, k)
+    if mkey in memo:
+        return memo[mkey]
+    if len(memo) > 4096:
+        memo.clear()
     blocks, exclude = pidx._term_blocks_for_theta(t_star)
     if not blocks or df_star < k:
+        memo[mkey] = 0.0
         return 0.0
     n, avgdl = pidx.doc_count, pidx.avg_doc_len
     idf = _idf(df_star, n)
-    # block tuples: (block_id, first, last, block_ub, n, blob)
+    # metadata tuples: (block_id, first, last, block_ub, n)
     order = sorted(blocks, key=lambda b: -b[3])
     kernels: list[float] = []
     kth = -1.0
     for i, b in enumerate(order):
-        ids, tfs, dls = decode_blocks_np([b[5]], [b[4]])
+        blob = pidx._theta_blobs(t_star, [b[0]]).get(b[0])
+        if blob is None:
+            continue
+        ids, tfs, dls = decode_blocks_np([blob], [b[4]])
         tfs, dls = tfs.astype(np.float64), dls.astype(np.float64)
         if exclude is not None and len(exclude):
             pos = np.minimum(np.searchsorted(exclude, ids), len(exclude) - 1)
@@ -131,9 +153,11 @@ def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
             # valid (just weaker) θ lower bound.
             if i + 1 >= len(order) or kth >= order[i + 1][3] * pidx.ub_factor:
                 break
-    if kth < 0 and kernels:
+    if (kth < 0 and kernels) or kth <= 0:
+        memo[mkey] = 0.0
         return 0.0
-    return idf * kth if kth > 0 else 0.0
+    memo[mkey] = idf * kth
+    return memo[mkey]
 
 
 def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
@@ -193,7 +217,7 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
     term_blocks: dict[str, list] = {}
     exclude = None
     for t in present:
-        blocks, exc = pidx._term_blocks_for_theta(t)
+        blocks, exc = pidx._term_blocks_for_theta(t)  # metadata only
         if exc is not None:
             exclude = exc  # one tombstone set per index, same every term
         if blocks:
@@ -207,13 +231,37 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
             tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
         )
 
+    # Lazy blob plumbing (round-7): metadata drives the block choices,
+    # _theta_blobs fetches only the blobs actually decoded, and a hard
+    # budget on decode count bounds the probe outright — blowing the
+    # budget returns θ=0 (a weaker bound; the caller just declines).
     decoded: dict[tuple, tuple] = {}
+    blob_store: dict[tuple, bytes] = {}
+    budget = {"left": SEED_PROBE_MAX_BLOCKS}
+
+    def _prefetch(t: str, idxs: list) -> bool:
+        need = [
+            int(i) for i in idxs
+            if (t, int(i)) not in blob_store and (t, int(i)) not in decoded
+        ]
+        if not need:
+            return True
+        if budget["left"] < len(need):
+            return False
+        budget["left"] -= len(need)
+        got = pidx._theta_blobs(t, [term_blocks[t][i][0] for i in need])
+        for i in need:
+            blob = got.get(term_blocks[t][i][0])
+            if blob is None:
+                return False
+            blob_store[(t, i)] = blob
+        return True
 
     def _decode(t: str, i: int):
-        key = (t, i)
+        key = (t, int(i))
         if key not in decoded:
-            b = term_blocks[t][i]
-            ids, tfs, dls = decode_blocks_np([b[5]], [b[4]])
+            b = term_blocks[t][key[1]]
+            ids, tfs, dls = decode_blocks_np([blob_store.pop(key)], [b[4]])
             decoded[key] = (
                 ids,
                 _kernel(tfs.astype(np.float64), dls.astype(np.float64)),
@@ -235,6 +283,9 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         reverse=True,
     )
     for i in star_order:
+        if not _prefetch(t_star, [i]):
+            memo[mkey] = 0.0
+            return 0.0
         ids, _ = _decode(t_star, i)
         seed_ids.update(ids[_live(ids)].tolist())
         if len(seed_ids) >= k:
@@ -243,6 +294,9 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         if t == t_star or len(seed_ids) >= SEED_POOL_MAX:
             continue
         best = max(range(len(term_blocks[t])), key=lambda i: term_blocks[t][i][3])
+        if not _prefetch(t, [best]):
+            memo[mkey] = 0.0
+            return 0.0
         ids, _ = _decode(t, best)
         live = ids[_live(ids)]
         seed_ids.update(live[: SEED_POOL_MAX - len(seed_ids)].tolist())
@@ -253,14 +307,19 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
     seeds.sort()
 
     # --- exact totals: per term, blocks partition the id space in
-    # ascending order, so block_last arrays admit a vectorized locate.
+    # ascending order, so block_last arrays admit a vectorized locate;
+    # each term's needed blobs are fetched in ONE batched read.
     totals = np.zeros(len(seeds), dtype=np.float64)
     for t, blocks in term_blocks.items():
         last = np.fromiter((b[2] for b in blocks), dtype=np.int64, count=len(blocks))
         first = np.fromiter((b[1] for b in blocks), dtype=np.int64, count=len(blocks))
         pos = np.searchsorted(last, seeds)
         valid = (pos < len(blocks)) & (first[np.minimum(pos, len(blocks) - 1)] <= seeds)
-        for bi in np.unique(pos[valid]):
+        needed = np.unique(pos[valid])
+        if not _prefetch(t, needed.tolist()):
+            memo[mkey] = 0.0
+            return 0.0
+        for bi in needed:
             ids, kern = _decode(t, int(bi))
             sel = np.flatnonzero(valid & (pos == bi))
             at = np.searchsorted(ids, seeds[sel])
@@ -332,8 +391,26 @@ def _passing_volume(pidx, present, idf_map, rest_ub, theta, f):
     return vol
 
 
+def _cap_volume_exceeds(
+    pidx, present, idf_map, rest_ub, theta_at_cap, f, metrics=None
+) -> bool:
+    """True when the EXACT passing-block posting volume at the best
+    achievable seed θ already exceeds MAX_CANDIDATES — a sound
+    decline-early test for the seed probe (volume is non-increasing in
+    θ, and every valid seed θ ≤ the cap). Metadata-only driver reads."""
+    vol = _passing_volume(pidx, present, idf_map, rest_ub, theta_at_cap, f)
+    if vol is None:
+        return False
+    if metrics is not None:
+        metrics["cap_volume"] = int(vol)
+        if vol > MAX_CANDIDATES:
+            metrics["seed_cap_volume_skipped"] = True
+    return vol > MAX_CANDIDATES
+
+
 def pruned_multi(
-    idx, qterms: dict[str, list[str]], k: int, metrics: dict | None = None
+    idx, qterms: dict[str, list[str]], k: int, metrics: dict | None = None,
+    theta_slack: float = 0.0,
 ) -> DataFrame | None:
     """Block-max pruning for the BATCH serving path (round-5 verdict
     item 6): the shared union-term scan previously decoded every
@@ -402,31 +479,41 @@ def pruned_multi(
             if t_star not in theta_cache:
                 theta_cache[t_star] = _theta_driver(idx, t_star, tdict[t_star][0], k)
             theta_walk = theta_cache[t_star]
-            if theta_walk > 0.0 and not all(
-                rest[t] >= theta_walk for t in terms_q
+            cand_w = theta_walk - theta_slack
+            if cand_w > 0.0 and not all(
+                rest[t] >= cand_w for t in terms_q
             ):
                 if (
-                    sum(tdict[t][0] for t in terms_q if rest[t] >= theta_walk)
+                    sum(tdict[t][0] for t in terms_q if rest[t] >= cand_w)
                     <= MAX_CANDIDATES
                 ):
-                    theta = theta_walk
+                    theta = cand_w
         if theta is None:
             # same dict-only precheck as pruned_scores: don't pay the
             # driver seed probe when no valid θ could engage.
             cap = _seed_theta_cap(terms_q, tdict, ub, k)
-            if cap <= min(rest[t] for t in terms_q) or cap <= theta_walk:
+            if (
+                cap - theta_slack <= min(rest[t] for t in terms_q)
+                or cap <= theta_walk
+                or _cap_volume_exceeds(
+                    idx, terms_q, idf_map, rest, cap - theta_slack, f
+                )
+            ):
                 unpruned_terms.update(terms_q)
                 continue
             skey = tuple(sorted(terms_q))
             if skey not in seed_cache:
                 seed_cache[skey] = _theta_seed(idx, terms_q, tdict, k)
             ts_ = seed_cache[skey]
-            if ts_ > theta_walk and not all(rest[t] >= ts_ for t in terms_q):
-                vol = _passing_volume(idx, terms_q, idf_map, rest, ts_, f)
+            cand_s = ts_ - theta_slack
+            if ts_ > theta_walk and cand_s > 0.0 and not all(
+                rest[t] >= cand_s for t in terms_q
+            ):
+                vol = _passing_volume(idx, terms_q, idf_map, rest, cand_s, f)
                 if vol is None:
-                    vol = sum(tdict[t][0] for t in terms_q if rest[t] >= ts_)
+                    vol = sum(tdict[t][0] for t in terms_q if rest[t] >= cand_s)
                 if vol <= MAX_CANDIDATES:
-                    theta = ts_
+                    theta = cand_s
         if theta is None:
             unpruned_terms.update(terms_q)
             continue
@@ -629,13 +716,23 @@ def pruned_scores(
     # the measured 49.8 s cap-out on 'news merge' at 2M.
     seed_cap = 0.0
     if not engaged:
-        # dict-only precheck: run the (driver block-loading) seed probe
-        # only when a valid θ could both beat the walk AND fail a block.
+        # dict-only precheck: run the seed probe only when a valid θ
+        # could both beat the walk AND fail a block.
         seed_cap = _seed_theta_cap(present, tdict, ub, k)
         min_rest = min(rest_ub.values())
         if seed_cap - theta_slack <= min_rest or seed_cap <= theta_walk:
             if metrics is not None:
                 metrics["seed_precheck_skipped"] = True
+        elif _cap_volume_exceeds(
+            pidx, present, idf_map, rest_ub, seed_cap - theta_slack,
+            float(pidx.ub_factor), metrics,
+        ):
+            # volume-at-cap precheck (round-7, metadata-only): vol(θ)
+            # grows as θ falls and every achievable seed θ ≤ seed_cap,
+            # so vol(cap − slack) > MAX_CANDIDATES proves the stage-2
+            # volume check MUST fail — decline before paying the probe
+            # (the head-class +13% of round-6 verdict item 2).
+            pass
         else:
             theta_seed = _theta_seed(pidx, present, tdict, k)
         cand = max(theta_walk, theta_seed) - theta_slack

@@ -73,6 +73,13 @@ def term_freqs(tokenized: DataFrame) -> DataFrame:
     # sequence(1, 0) would DESCEND into index 0 for empty docs, so the
     # guard must sit here (starts is a materialized column, evaluated
     # for every row — unlike an expression pruned by a lazy when()).
+    # Run-start predicate: position i starts a run iff i == 1 or
+    # s[i] != s[i-1]. The comparison index is greatest(i-1, 1) so the
+    # i == 1 case never evaluates element_at with index 0 — structurally
+    # safe (INVALID_INDEX_OF_ZERO) rather than relying on Or
+    # short-circuit evaluation order (round-6 ADVICE): at i == 1 the
+    # guarded comparison degenerates to s[1] != s[1] = false and the
+    # i == 1 disjunct decides.
     d = d.select(
         "doc_id", "doc_len", "s",
         F.when(
@@ -80,7 +87,10 @@ def term_freqs(tokenized: DataFrame) -> DataFrame:
             F.filter(
                 F.sequence(F.lit(1), F.size("s")),
                 lambda i: (i == F.lit(1))
-                | (F.element_at("s", i) != F.element_at("s", i - F.lit(1))),
+                | (
+                    F.element_at("s", i)
+                    != F.element_at("s", F.greatest(i - F.lit(1), F.lit(1)))
+                ),
             ),
         ).otherwise(F.array().cast("array<int>")).alias("starts"),
     )
