@@ -178,7 +178,9 @@ def test_dup_clusters_connected_components(spark):
 def test_dup_clusters_giant_components_round_bound(spark):
     """Pointer jumping must collapse a pathological 10k-node duplicate
     CHAIN in O(log n) rounds (plain min-propagation would need 10k) and
-    a 400-clique in ~2; outputs are the component-min labels."""
+    a 400-clique in ~2; outputs are the component-min labels.
+    driver_pairs_max=None forces the DISTRIBUTED arm — the fallback
+    above the bounded-collect cap — so its round bounds stay pinned."""
     from vexor_spark.operators.dedup import dup_clusters
 
     n = 10_000
@@ -187,7 +189,9 @@ def test_dup_clusters_giant_components_round_bound(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     m: dict = {}
-    got = dup_clusters(chain_nodes, chain_edges, max_iters=30, metrics=m)
+    got = dup_clusters(
+        chain_nodes, chain_edges, max_iters=30, metrics=m, driver_pairs_max=None
+    )
     assert got.filter(F.col("cluster_rep") != 0).count() == 0
     assert got.count() == n
     # deficit grows ≥ 2d+2 per round → ≤ ceil(log2(n)) + slack
@@ -201,9 +205,39 @@ def test_dup_clusters_giant_components_round_bound(spark):
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     m2: dict = {}
-    got2 = dup_clusters(clique_nodes, clique_edges, max_iters=10, metrics=m2)
+    got2 = dup_clusters(
+        clique_nodes, clique_edges, max_iters=10, metrics=m2, driver_pairs_max=None
+    )
     assert got2.filter(F.col("cluster_rep") != 50).count() == 0
     assert m2["rounds"] <= 3, m2
+
+
+def test_dup_clusters_driver_arm_equals_distributed(spark):
+    """The bounded-collect union-find arm (the small-graph default)
+    must produce exactly the distributed loop's labels, and a tiny cap
+    must fall back to the loop."""
+    from vexor_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 7), (2, 6), (30, 31)], "doc_a long, doc_b long"
+    )
+    m: dict = {}
+    fast = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dup_clusters(docs, pairs, metrics=m).collect()
+    }
+    assert m["rounds"] == 0 and m["driver_pairs"] == 5
+    m2: dict = {}
+    slow = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dup_clusters(
+            docs, pairs, metrics=m2, driver_pairs_max=2
+        ).collect()
+    }
+    assert m2["rounds"] >= 1  # fell back to the distributed loop
+    assert fast == slow
+    assert fast[7] == 1 and fast[6] == 2 and fast[0] == 0
 
 
 def test_simhash_table_equals_fold(spark):

@@ -113,13 +113,23 @@ def _sig_aggs(k: int = MINHASH_K) -> list[Column]:
 def minhash_signatures(
     docs: DataFrame, tokens_col: str = "tokens", *, k: int = MINHASH_K, shingle_n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig_0..sig_{k-1}) — k MinHash mins aggregated over the
-    exploded shingle-hash rows: every doc has ≥1 shingle hash (the
-    whole-doc fold), so no doc drops out of the groupBy."""
+    """(doc_id, sig_0..sig_{k-1}) — k MinHash minima per doc, computed
+    in ONE fused Arrow kernel pass (operators/dedup_kernels.py): no
+    per-shingle explode, no groupBy exchange; only |docs| signature
+    rows ever leave the scan. Values are identical to the explode +
+    min-agg form (min over occurrences == min over the distinct set;
+    the whole-doc fold arm guarantees every doc ≥1 shingle hash). The
+    isNotNull filter reproduces the old groupBy's drop of null-token
+    docs (explode of a null array emitted no rows)."""
+    from vexor_spark.operators.dedup_kernels import make_minhash_features_udf
+
+    udf = make_minhash_features_udf(MINHASH_PARAMS, k, shingle_n)
     return (
-        shingle_hash_rows(docs, tokens_col, shingle_n=shingle_n)
-        .groupBy("doc_id")
-        .agg(*_sig_aggs(k))
+        docs.select("doc_id", udf(tokens_col).alias("f"))
+        .filter(F.col("f.sig_0").isNotNull())
+        .select(
+            "doc_id", *[F.col(f"f.sig_{j}").alias(f"sig_{j}") for j in range(k)]
+        )
     )
 
 
@@ -223,16 +233,27 @@ def near_dup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — MinHash-LSH candidates verified by
     exact n-gram Jaccard ≥ threshold, computed over int64 shingle-hash
-    sets. ONE groupBy over the exploded shingle-hash rows yields both
-    the k signatures and the sorted distinct hash set per doc — tokens
-    are hashed exactly once; the verify joins carry 8-byte hashes, not
-    n-gram strings. Jaccard over hash sets equals shingle-set Jaccard
-    except under poly collisions (~|S|²/2³¹ per pair; the DuckDB oracle
-    hashes identically, so parity is exact either way)."""
+    sets. ONE fused Arrow kernel pass (dedup_kernels) yields both the
+    k signatures and the sorted distinct hash set per doc — no
+    per-shingle explode, no groupBy/collect_set exchange; the verify
+    joins carry 8-byte hashes, not n-gram strings. per_doc feeds THREE
+    consumers (the banding pairs and both verify sides), so a lazy
+    localCheckpoint materializes the kernel output once. Jaccard over
+    hash sets equals shingle-set Jaccard except under poly collisions
+    (~|S|²/2³¹ per pair; the DuckDB oracle hashes identically, so
+    parity is exact either way)."""
+    from vexor_spark.operators.dedup_kernels import make_minhash_features_udf
+
+    udf = make_minhash_features_udf(MINHASH_PARAMS, MINHASH_K, shingle_n)
     per_doc = (
-        shingle_hash_rows(docs, tokens_col, shingle_n=shingle_n)
-        .groupBy("doc_id")
-        .agg(*_sig_aggs(), F.array_sort(F.collect_set("h")).alias("sh"))
+        docs.select("doc_id", udf(tokens_col).alias("f"))
+        .filter(F.col("f.sig_0").isNotNull())
+        .select(
+            "doc_id",
+            *[F.col(f"f.sig_{j}").alias(f"sig_{j}") for j in range(MINHASH_K)],
+            F.col("f.sh").alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     sigs = per_doc.select("doc_id", *[f"sig_{j}" for j in range(MINHASH_K)])
     pairs = lsh_candidate_pairs(
@@ -293,38 +314,23 @@ def simhash_table(
     bits: int = SIMHASH_BITS,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, simhash) for a whole corpus via explode + two-phase
-    aggregation — the whole-stage-codegen path for bulk simhash.
+    """(id, simhash) for a whole corpus via the fused Arrow kernel
+    (dedup_kernels): per-doc bit counts computed in numpy where the
+    tokens already are — no per-token explode, no |docs|-group
+    exchange (the round-6 shape exploded every token hash into a row
+    and two-phase-aggregated `bits` sums). bit j of the result is set
+    iff 2·count(bit_j(h)=1) > n_tokens ⟺ Σ(2·bit−1) > 0, identical to
+    the per-row fold (pinned in test_dedup_similarity) and to the
+    DuckDB oracle. Tokenless docs → simhash 0 via the kernel's empty
+    case; null token arrays coalesce to 0, matching explode_outer's
+    count-0 group."""
+    from vexor_spark.operators.dedup_kernels import make_simhash_features_udf
 
-    The array fold in simhash_from_hashes is a CodegenFallback HOF
-    that allocates two `bits`-element arrays per token (measured 14 s
-    for 50k docs); here each token hash becomes a row and the per-bit
-    sign counts are plain `shiftright`/`sum` columns (shiftright takes
-    non-lambda columns fine), so the whole thing stays inside codegen
-    with map-side partial aggregation — <1 s on the same input, one
-    shuffle of |docs| groups. bit j of the result is set iff
-    2·count(bit_j(h)=1) > n_tokens  ⟺  Σ(2·bit−1) > 0, identical to
-    the fold (and to the DuckDB oracle). Tokenless docs survive via
-    explode_outer with count 0 → simhash 0, matching the fold's empty
-    case."""
-    hashed = docs.select(
+    udf = make_simhash_features_udf(bits, None, include_sh=False)
+    return docs.select(
         id_col,
-        F.explode_outer(poly_hash_tokens_udf(tokens_col)).alias("h"),
+        F.coalesce(udf(tokens_col)["sim"], F.lit(0)).cast("long").alias("simhash"),
     )
-    counts = hashed.groupBy(id_col).agg(
-        F.count("h").alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
-            for j in range(bits)
-        ],
-    )
-    sim = None
-    for j in range(bits):
-        term = F.when(
-            F.coalesce(F.col(f"c{j}"), F.lit(0)) * 2 > F.col("n"), F.lit(1 << j)
-        ).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return counts.select(id_col, sim.cast("long").alias("simhash"))
 
 
 def simhash_block_bounds(bits: int = SIMHASH_BITS, blocks: int = 3) -> list[tuple[int, int]]:
@@ -385,12 +391,10 @@ def simhash_near_dup_pairs(
     deliberately brute-forces all O(n²) pairs, so a green oracle row
     empirically re-proves the blocking's losslessness on the corpus.
 
-    ONE projection computes token hashes per doc (`_th` barrier — HOF
-    lambdas get no common-subexpression elimination, see
-    shingle_hashes_from); both the simhash fold and the shingle-set
-    fold read it. No explode/groupBy shuffle on the build side — per
-    doc this is pure array algebra; the only shuffles are the bucketed
-    pair join (skew-capped like LSH) and the two per-side lookups.
+    ONE fused Arrow kernel pass (dedup_kernels) computes the sketch
+    AND the shingle-hash set per doc. No explode/groupBy shuffle on
+    the build side; the only shuffles are the bucketed pair join
+    (skew-capped like LSH) and the two per-side lookups.
 
     Scale caveat (measured, round 3): runtime is OUTPUT-bound — the
     operator is exact, so a corpus whose docs genuinely cluster in
@@ -402,18 +406,19 @@ def simhash_near_dup_pairs(
     whose 3-gram shingles stay discriminative, and reserve this arm
     for high-entropy corpora / wider production hashes (64-bit).
     """
+    from vexor_spark.operators.dedup_kernels import make_simhash_features_udf
+
     blocks = hamming_max + 1
-    with_th = docs.withColumn("_th", poly_hash_tokens_udf(tokens_col))
-    # lazy localCheckpoint: per_doc feeds five consumers below and the
-    # per-row HOF folds are expensive — materialize once (same reason
-    # as the 64-bit arm).
-    per_doc = with_th.select(
-        "doc_id",
-        simhash_from_hashes(F.col("_th"), bits).alias("sim"),
-        F.array_sort(
-            F.array_distinct(shingle_hashes_from(F.col("_th"), shingle_n))
-        ).alias("sh"),
-    ).localCheckpoint(eager=False)
+    # lazy localCheckpoint: per_doc feeds five consumers below —
+    # materialize the kernel output once (same reason as the 64-bit arm).
+    udf = make_simhash_features_udf(bits, None, shingle_n)
+    per_doc = (
+        docs.select("doc_id", udf(tokens_col).alias("f"))
+        .select(
+            "doc_id", F.col("f.sim").alias("sim"), F.col("f.sh").alias("sh")
+        )
+        .localCheckpoint(eager=False)
+    )
     keyed = per_doc.select(
         "doc_id",
         F.explode(simhash_block_keys(F.col("sim"), bits=bits, blocks=blocks)).alias(
@@ -547,22 +552,21 @@ def simhash64_near_dup_pairs(
     codegen bulk table (one |docs| groupBy) joined back to the shingle
     sets — at scale both sides are shuffles on doc_id, and the pair
     join is skew-capped like LSH."""
+    from vexor_spark.operators.dedup_kernels import make_simhash_features_udf
+
     blocks = hamming_max + 1
-    with_th = docs.withColumn("_th", poly_hash_tokens_udf(tokens_col))
-    sh = with_th.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(shingle_hashes_from(F.col("_th"), shingle_n))
-        ).alias("sh"),
-    )
-    sims = simhash64_table(with_th, "_th", hashed=True)
-    # per_doc feeds FIVE consumers (block keys, both sketch sides, both
-    # shingle sides); without materialization the sketch aggregation
-    # re-runs per consumer (no CSE across joins) — lazy localCheckpoint
-    # runs it once (measured 4.3→~2.6 s at sf0.1).
+    # ONE fused Arrow kernel pass yields (sketch, shingle set) per doc
+    # — the previous shape aggregated the sketch via explode+groupBy
+    # (an exchange of every token row, 22 packed sums) and JOINED it
+    # back to a separately-computed shingle table (another exchange +
+    # a second tokenize/hash pass: no CSE across join branches).
+    # per_doc feeds FIVE consumers (block keys, both sketch sides,
+    # both shingle sides) — lazy localCheckpoint materializes the
+    # kernel output once.
+    udf = make_simhash_features_udf(SIMHASH64_BITS, SIMHASH64_PARAMS, shingle_n)
     per_doc = (
-        sims.join(sh, "doc_id")
-        .select("doc_id", F.col("simhash64").alias("sim"), "sh")
+        docs.select("doc_id", udf(tokens_col).alias("f"))
+        .select("doc_id", F.col("f.sim").alias("sim"), F.col("f.sh").alias("sh"))
         .localCheckpoint(eager=False)
     )
     keyed = per_doc.select(
@@ -600,6 +604,13 @@ def simhash64_near_dup_pairs(
     )
 
 
+# Pair-count cap for the driver union-find arm of dup_clusters: 2M
+# (doc_a, doc_b) rows ≈ 32 MB collected — the same bounded-collect
+# discipline as the WAND candidate cap, with the distributed loop as
+# the guaranteed fallback above it.
+DUP_PAIRS_DRIVER_MAX = 2_000_000
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -607,6 +618,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     max_iters: int = 25,
     metrics: dict | None = None,
+    driver_pairs_max: int | None = DUP_PAIRS_DRIVER_MAX,
 ) -> DataFrame:
     """(doc_id, cluster_rep) — connected components over near-duplicate
     pairs by min-label propagation WITH pointer jumping; singletons map
@@ -627,8 +639,58 @@ def dup_clusters(
     to truncate the iterative lineage (an unbounded plan is the classic
     iterative-algorithm failure mode). Convergence is a driver-side
     changed-count check; `metrics["rounds"]` records the count.
+
+    Small-graph fast path (round-7): near-dup pair sets are tiny
+    relative to the corpus (the whole point of dedup blocking), and
+    every distributed round costs ~5 scheduled jobs regardless of
+    size. When the pair count fits `driver_pairs_max` (bounded
+    LIMIT+collect — ~16 bytes/pair, the WAND-candidate discipline),
+    components are solved by driver union-find and labels re-attach as
+    ONE broadcast left join; otherwise the distributed loop runs
+    unchanged. Identical output: representative = min doc_id of the
+    component, singletons (incl. docs absent from pairs) label
+    themselves. Precondition (both arms): pair endpoints ⊆ docs.
     """
     F_ = F
+    if driver_pairs_max is not None:
+        head = (
+            pairs.select("doc_a", "doc_b").limit(driver_pairs_max + 1).collect()
+        )
+        if len(head) <= driver_pairs_max:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["doc_a"], row["doc_b"]
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id keeps roots = component minima
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+                    parent.setdefault(lo, lo)
+            label = {n: find(n) for n in parent}
+            if metrics is not None:
+                metrics["rounds"] = 0
+                metrics["driver_pairs"] = len(head)
+            spark = docs.sparkSession
+            lbl = spark.createDataFrame(
+                [(int(n), int(r)) for n, r in label.items()],
+                "node bigint, label bigint",
+            )
+            node = docs.select(F_.col(id_col).alias("node")).join(
+                F_.broadcast(lbl), "node", "left"
+            )
+            return node.select(
+                F_.col("node").alias(id_col),
+                F_.coalesce("label", F_.col("node")).alias("cluster_rep"),
+            )
     edges = pairs.select(
         F_.col("doc_a").alias("s"), F_.col("doc_b").alias("d")
     ).union(pairs.select(F_.col("doc_b").alias("s"), F_.col("doc_a").alias("d")))
