@@ -50,7 +50,11 @@ def main() -> None:
     if _os.environ.get("VEXOR_TF_IMPL") == "shuffle":
         from vexor_spark.operators import postings as _postings
 
-        _postings.term_freqs = _postings.term_freqs_shuffle
+        _postings.term_freqs_build = _postings.term_freqs_shuffle
+    elif _os.environ.get("VEXOR_TF_IMPL") == "kernel":
+        from vexor_spark.operators import postings as _postings
+
+        _postings.term_freqs_build = _postings.term_freqs
 
     spark = SparkSession.builder.getOrCreate()
     work = Path(args.workdir or tempfile.mkdtemp(prefix="vexor_bench_"))

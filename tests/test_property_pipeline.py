@@ -44,7 +44,11 @@ def test_term_freqs_mapside_equals_shuffle(spark, tokens):
     multi-byte tokens)."""
     from pyspark.sql import functions as F
 
-    from vexor_spark.operators.postings import term_freqs, term_freqs_shuffle
+    from vexor_spark.operators.postings import (
+        term_freqs,
+        term_freqs_hof,
+        term_freqs_shuffle,
+    )
 
     df = spark.createDataFrame(
         [(i, ts) for i, ts in enumerate(tokens)],
@@ -53,6 +57,8 @@ def test_term_freqs_mapside_equals_shuffle(spark, tokens):
     got = sorted(map(tuple, term_freqs(df).collect()))
     want = sorted(map(tuple, term_freqs_shuffle(df).collect()))
     assert got == want
+    hof = sorted(map(tuple, term_freqs_hof(df).collect()))
+    assert hof == want
 
 
 @settings(max_examples=5, deadline=None)

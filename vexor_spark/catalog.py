@@ -228,7 +228,11 @@ def q_bm25_pruned_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"), F.avg("doc_len").alias("a")
         ).collect()[0]
         n, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
-        tf = term_freqs(tokenized.select("doc_id", "doc_len", "tokens"))
+        from vexor_spark.operators import postings as postings_mod
+
+        tf = postings_mod.term_freqs_build(
+            tokenized.select("doc_id", "doc_len", "tokens")
+        )
         blocks = _sorted_block_rows(
             tf, avgdl if avgdl > 0 else 1.0, 4, POSTING_BLOCK_SIZE
         ).persist()

@@ -116,6 +116,84 @@ def decode_postings_udf(blobs: pd.Series) -> pd.Series:
     return blobs.map(one)
 
 
+def explode_blocks_rows(blocks_df, *, tomb_bc=None, keep_layer: bool = False):
+    """blocks(term, df, n, blob[, _layer]) → (term, df, doc_id, tf,
+    doc_len[, _layer]) posting ROWS in one mapInPandas kernel: the
+    whole Arrow batch's blobs decode through the vectorized varint
+    pass (decode_blocks_np) and term/df replicate by np.repeat —
+    replacing decode_postings_udf + JVM explode, which built a Python
+    dict PER POSTING inside the UDF, serialized them as Arrow
+    array<struct>, and re-exploded rows JVM-side (round-7; guide §4.2:
+    keep batch work in vectorized native code).
+
+    tomb_bc (a Spark broadcast of (sorted doc_ids, tmax arrays))
+    applies the layered-read liveness rule inside the kernel — a
+    posting written at layer L survives iff its doc has no tombstone
+    or tmax ≤ L — replacing make_decode_live_udf on the segmented
+    path. keep_layer=True carries _layer through (the join-fallback
+    path when the tombstone volume exceeds the driver budget)."""
+    import numpy as np
+
+    need_layer = tomb_bc is not None or keep_layer
+    schema = "term string, df double, doc_id long, tf double, doc_len double"
+    if keep_layer:
+        schema += ", _layer int"
+    cols = ["term", "df", "n", "blob"] + (["_layer"] if need_layer else [])
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy().astype(np.int64)
+            ids, tfs, dls = decode_blocks_np(list(pdf["blob"]), ns.tolist())
+            term = np.repeat(pdf["term"].to_numpy(), ns)
+            dfv = np.repeat(pdf["df"].to_numpy().astype(np.float64), ns)
+            layer = (
+                np.repeat(pdf["_layer"].to_numpy().astype(np.int64), ns)
+                if need_layer
+                else None
+            )
+            if tomb_bc is not None:
+                ids_sorted, tmax = tomb_bc.value
+                if len(ids_sorted):
+                    pos = np.minimum(
+                        np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1
+                    )
+                    keep = ~((ids_sorted[pos] == ids) & (tmax[pos] > layer))
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    term, dfv = term[keep], dfv[keep]
+                    if keep_layer:
+                        layer = layer[keep]
+            out = {
+                "term": term,
+                "df": dfv,
+                "doc_id": ids,
+                "tf": tfs.astype(np.float64),
+                "doc_len": dls.astype(np.float64),
+            }
+            if keep_layer:
+                out["_layer"] = layer.astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return blocks_df.select(*cols).mapInPandas(kern, schema)
+
+
+def block_doc_ids_rows(blocks_df):
+    """blocks(n, blob) → (doc_id) rows — the candidate-generation
+    decode (wand.py) without per-posting structs or a JVM explode."""
+    import numpy as np
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy().astype(np.int64)
+            ids, _tfs, _dls = decode_blocks_np(list(pdf["blob"]), ns.tolist())
+            yield pd.DataFrame({"doc_id": ids})
+
+    return blocks_df.select("n", "blob").mapInPandas(kern, "doc_id long")
+
+
 def make_decode_live_udf(tomb_bc):
     """Decode-and-filter UDF for LAYERED reads: emits only postings
     whose doc is still alive under the broadcast tombstone map.

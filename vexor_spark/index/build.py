@@ -285,7 +285,11 @@ def build_index(
     )
     if cache:
         doc_table = doc_table.persist()
-    tf = term_freqs(docs.select("doc_id", "doc_len", "tokens"))
+    from vexor_spark.operators import postings as postings_mod
+
+    # build-pipeline tf binding (call-time module attribute — see
+    # postings.term_freqs_build for the measured build-vs-query split)
+    tf = postings_mod.term_freqs_build(docs.select("doc_id", "doc_len", "tokens"))
     postings = build_postings(
         tf, salt_partitions=salt_partitions, term_buckets=term_buckets
     )

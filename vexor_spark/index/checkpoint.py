@@ -47,7 +47,6 @@ from vexor_spark.operators.chunking import chunk_pages
 from vexor_spark.operators.postings import (
     build_postings,
     corpus_stats,
-    term_freqs,
     tokenize_docs,
 )
 from vexor_spark.plans.docids import assign_doc_ids
@@ -215,7 +214,9 @@ def finalize_index(
     )
     if cache:
         doc_table = doc_table.persist()
-    tf = term_freqs(docs.select("doc_id", "doc_len", "tokens"))
+    from vexor_spark.operators import postings as postings_mod
+
+    tf = postings_mod.term_freqs_build(docs.select("doc_id", "doc_len", "tokens"))
     postings = build_postings(tf, salt_partitions=salt_partitions, term_buckets=term_buckets)
     if cache:
         postings = postings.persist()

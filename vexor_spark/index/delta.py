@@ -81,7 +81,8 @@ from vexor_spark.constants import SCORE_ROUND_DP
 from vexor_spark.index.storage import PersistedIndex, decode_postings_udf
 from vexor_spark.functions.tokenize import prepare_query_terms
 from vexor_spark.operators.chunking import with_document
-from vexor_spark.operators.postings import term_freqs, tokenize_docs
+from vexor_spark.operators import postings as postings_mod
+from vexor_spark.operators.postings import tokenize_docs
 from vexor_spark.operators.scoring import bm25_contribution_col, top_k
 from vexor_spark.plans.docids import assign_doc_ids
 
@@ -334,7 +335,9 @@ def _apply_delta(
         "changed_buckets": [int(b) for b in changed], "seg": seg_id,
     }, indent=1))
 
-    tf_new = term_freqs(seg_docs.select("doc_id", "doc_len", "tokens")).persist()
+    tf_new = postings_mod.term_freqs_build(
+        seg_docs.select("doc_id", "doc_len", "tokens")
+    ).persist()
     tb = F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     # Segment postings take the SAME block+varint form as the base
     # (encoded with the base's ub basis): the read path decodes base
@@ -780,32 +783,16 @@ class SegmentedIndex:
         map (codec.make_decode_live_udf) — no join stage; falls back to
         the broadcast max-layer join only when the tombstone volume
         exceeds the driver budget."""
+        from vexor_spark.functions.codec import explode_blocks_rows
+
         bc = self._tombstone_bc()
         if bc is not None:
-            from vexor_spark.functions.codec import make_decode_live_udf
-
-            decode_live = make_decode_live_udf(bc)
-            return blocks.select(
-                "term",
-                F.col("df").cast("double").alias("df"),
-                F.explode(decode_live("blob", F.col("_layer").cast("long"))).alias("p"),
-            ).select(
-                "term", "df",
-                F.col("p.doc_id").alias("doc_id"),
-                F.col("p.tf").cast("double").alias("tf"),
-                F.col("p.doc_len").cast("double").alias("doc_len"),
-            )
-        rows = blocks.select(
-            "term",
-            F.col("df").cast("double").alias("df"),
-            "_layer",
-            F.explode(decode_postings_udf("blob")).alias("p"),
-        ).select(
-            "term", "df", "_layer",
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.tf").cast("double").alias("tf"),
-            F.col("p.doc_len").cast("double").alias("doc_len"),
-        )
+            # decode + tombstone filter fused in ONE mapInPandas
+            # kernel (codec.explode_blocks_rows): dead postings die
+            # inside the numpy batch — no join stage, no per-posting
+            # Python structs, no JVM explode.
+            return explode_blocks_rows(blocks, tomb_bc=bc)
+        rows = explode_blocks_rows(blocks, keep_layer=True)
         tomb_max = self._tombstone_max()
         if tomb_max is not None:
             rows = rows.join(tomb_max, "doc_id", "left").filter(

@@ -58,7 +58,8 @@ from vexor_spark.index.checkpoint import (
 )
 from vexor_spark.index.storage import FORMAT_VERSION, _sorted_block_rows
 from vexor_spark.operators.chunking import with_document
-from vexor_spark.operators.postings import corpus_stats, term_freqs, tokenize_docs
+from vexor_spark.operators import postings as postings_mod
+from vexor_spark.operators.postings import corpus_stats, tokenize_docs
 from vexor_spark.plans.docids import assign_doc_ids
 
 REBUILD_RATIO = 0.5  # reference index_service.py:29 max_incremental_ratio
@@ -111,7 +112,7 @@ def full_merge(
     avgdl = float(row["avg_doc_len"]) if row["avg_doc_len"] else 0.0
     for df_ in intermediates:
         df_.unpersist()
-    tf = term_freqs(
+    tf = postings_mod.term_freqs_build(
         tokenize_docs(with_document(doc_table), "document")
         .select("doc_id", "doc_len", "tokens")
     )
@@ -196,7 +197,9 @@ def _incremental_merge(
         .select(F.explode("tokens").alias("term"))
         .distinct()
     )
-    tf_new = term_freqs(changed_tok.select("doc_id", "doc_len", "tokens"))
+    tf_new = postings_mod.term_freqs_build(
+        changed_tok.select("doc_id", "doc_len", "tokens")
+    )
     # Terms whose postings can change = terms of new/changed docs ∪
     # terms of the removed old docs. Everything else in an affected
     # bucket passes through BYTE-IDENTICAL (no decode, no re-encode):

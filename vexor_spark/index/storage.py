@@ -263,7 +263,7 @@ def build_and_write_index(
     import time
 
     from vexor_spark.index.build import build_docs
-    from vexor_spark.operators.postings import corpus_stats, term_freqs
+    from vexor_spark.operators.postings import corpus_stats
 
     index_dir = Path(index_dir)
     t0 = time.time()
@@ -755,17 +755,13 @@ class PersistedIndex:
         """blocks → (term, df, doc_id, tf, doc_len) posting rows — the
         decode step shared by single-query scoring and the batch path
         (SegmentedIndex overrides this with its tombstone-filtered
-        decode; wand.pruned_multi scores whatever frame it returns)."""
-        return blocks.select(
-            "term",
-            F.col("df").cast("double").alias("df"),
-            F.explode(decode_postings_udf("blob")).alias("p"),
-        ).select(
-            "term", "df",
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.tf").cast("double").alias("tf"),
-            F.col("p.doc_len").cast("double").alias("doc_len"),
-        )
+        decode; wand.pruned_multi scores whatever frame it returns).
+        One fused mapInPandas kernel: vectorized varint decode +
+        np.repeat replication (codec.explode_blocks_rows) — no
+        per-posting Python structs, no JVM explode."""
+        from vexor_spark.functions.codec import explode_blocks_rows
+
+        return explode_blocks_rows(blocks)
 
     def _score_blocks(
         self, blocks: DataFrame, candidates: DataFrame | None = None

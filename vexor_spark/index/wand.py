@@ -56,7 +56,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vexor_spark.functions.codec import decode_postings_udf
+from vexor_spark.functions.codec import block_doc_ids_rows
 
 # If candidate generation exceeds this, fall back to unpruned scoring
 # (collecting a huge candidate set to the driver would be the real cost).
@@ -562,9 +562,9 @@ def pruned_multi(
     bounded = idx._matched_blocks(present).join(F.broadcast(thrdf), "term").persist()
     try:
         cand_rows = (
-            bounded.filter(F.col("block_ub") * F.lit(f) >= F.col("thr_p"))
-            .select(F.explode(decode_postings_udf("blob")).alias("p"))
-            .select(F.col("p.doc_id").alias("doc_id"))
+            block_doc_ids_rows(
+                bounded.filter(F.col("block_ub") * F.lit(f) >= F.col("thr_p"))
+            )
             .distinct()
             .limit(MAX_CANDIDATES + 1)
             .collect()
@@ -776,9 +776,7 @@ def pruned_scores(
     bounded = bounded.persist()
     try:
         candidates_rows = (
-            bounded.filter("passes")
-            .select(F.explode(decode_postings_udf("blob")).alias("p"))
-            .select(F.col("p.doc_id").alias("doc_id"))
+            block_doc_ids_rows(bounded.filter("passes"))
             .distinct()
             .limit(MAX_CANDIDATES + 1)
             .collect()

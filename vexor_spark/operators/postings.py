@@ -48,38 +48,86 @@ def term_freqs(tokenized: DataFrame) -> DataFrame:
     (vexor/bm25.py:60-61 semantics), computed MAP-SIDE.
 
     All of a document's tokens live in one row, so the per-(doc, term)
-    count never needs a shuffle: sort the token array, find run starts,
-    and emit (term, run_length) structs — pure JVM expressions. The
-    explode+groupBy formulation (kept as `term_freqs_shuffle`) hashes
-    and exchanges one row per (doc, term) pair before its final
-    aggregation; at index-build scale that exchange is a full extra
-    pass of term-string rows over the shuffle bus, back-to-back with
-    the term-bucket repartition the block encoder needs anyway.
-    Removing it halves the build's shuffled bytes (SURVEY §4.2 scale
-    note; the round-5/6 scaling-efficiency weak).
+    count never needs a shuffle. The explode+groupBy formulation (kept
+    as `term_freqs_shuffle`) hashes and exchanges one row per
+    (doc, term) pair before its final aggregation; at index-build
+    scale that exchange is a full extra pass of term-string rows over
+    the shuffle bus, back-to-back with the term-bucket repartition the
+    block encoder needs anyway. Removing it halves the build's
+    shuffled bytes (SURVEY §4.2 scale note).
 
-    Every expensive intermediate (the sorted array, the run-start
-    positions) is materialized as a REAL projected column before any
-    higher-order function references it. Referencing the expression
-    itself instead re-evaluates the whole subtree per lambda element —
-    element_at(array_sort(tokens), i) inside filter() re-sorts the
-    array for every position — measured 126× slower than the shuffle
-    formulation at 200k docs (2.5 ms/doc) where this split runs it in
-    par with the hash-agg's compute minus its exchange. CollapseProject
-    keeps the split projections because the aliases are non-cheap and
-    multiply referenced."""
+    Round-7 formulation: a mapInPandas kernel — the batch's tokens
+    flatten into one fixed-width numpy unicode array, one lexsort by
+    (doc, token) clusters equal tokens, and run lengths fall out of
+    the boundary diff: ~4 vectorized C passes per Arrow batch. The
+    round-6 shape (kept as `term_freqs_hof`) did the same run-length
+    with Column higher-order functions (array_sort+filter+zip_with),
+    which are CodegenFallback — an interpreted expression eval per
+    token, the ~10% single-box CPU tax BASELINE.md round-6 addendum
+    (b) flagged as future work. Only the sort's CLUSTERING matters
+    (any consistent order groups equal tokens), so numpy codepoint
+    order vs Java UTF-16 order is immaterial; the property pin
+    `term_freqs ≡ term_freqs_shuffle` (tests/test_property_pipeline)
+    gates the formulation on hypothesis corpora (CJK, punctuation,
+    duplicates, empty docs). Blank docs emit no rows, exactly as
+    explode of an empty array would."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "doc_id long, doc_len int, term string, tf int"
+
+    def run_lengths(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = np.fromiter(map(len, pdf["tokens"]), np.int64, len(pdf))
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in pdf["tokens"]]
+            )
+            arr = flat.astype("U")
+            doc_pos = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+            order = np.lexsort((arr, doc_pos))
+            sa, sd = arr[order], doc_pos[order]
+            new = np.empty(total, bool)
+            new[0] = True
+            new[1:] = (sd[1:] != sd[:-1]) | (sa[1:] != sa[:-1])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, total)).astype(np.int32)
+            run_doc = sd[starts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[run_doc],
+                    "doc_len": pdf["doc_len"].to_numpy()[run_doc],
+                    "term": sa[starts],
+                    "tf": tf,
+                }
+            )
+
+    return tokenized.select("doc_id", "doc_len", "tokens").mapInPandas(
+        run_lengths, schema
+    )
+
+
+def term_freqs_hof(tokenized: DataFrame) -> DataFrame:
+    """The round-6 zero-exchange formulation in Column higher-order
+    functions — kept for A/B measurement and as a second equivalence
+    oracle. Every expensive intermediate (the sorted array, the
+    run-start positions) is materialized as a REAL projected column
+    before any HOF references it: referencing the expression itself
+    re-evaluates the whole subtree per lambda element (measured 126×
+    slower). The run-start comparison index is greatest(i-1, 1) so
+    the i == 1 case never evaluates element_at with index 0 —
+    structurally safe (round-6 ADVICE) rather than relying on Or
+    short-circuit order: at i == 1 the guarded comparison degenerates
+    to s[1] != s[1] = false and the i == 1 disjunct decides."""
     d = tokenized.select("doc_id", "doc_len", F.array_sort("tokens").alias("s"))
     # 1-based positions where a new run starts in the sorted array.
     # sequence(1, 0) would DESCEND into index 0 for empty docs, so the
     # guard must sit here (starts is a materialized column, evaluated
     # for every row — unlike an expression pruned by a lazy when()).
-    # Run-start predicate: position i starts a run iff i == 1 or
-    # s[i] != s[i-1]. The comparison index is greatest(i-1, 1) so the
-    # i == 1 case never evaluates element_at with index 0 — structurally
-    # safe (INVALID_INDEX_OF_ZERO) rather than relying on Or
-    # short-circuit evaluation order (round-6 ADVICE): at i == 1 the
-    # guarded comparison degenerates to s[1] != s[1] = false and the
-    # i == 1 disjunct decides.
     d = d.select(
         "doc_id", "doc_len", "s",
         F.when(
@@ -131,6 +179,20 @@ def term_freqs_shuffle(tokenized: DataFrame) -> DataFrame:
     )
 
 
+# tf implementation for the INDEX-BUILD pipeline (rebind for A/B:
+# scripts/bench_build.py VEXOR_TF_IMPL). Measured round-7 (100k pages,
+# interleaved A/B, 3 pairs): the mapInPandas kernel is consistently
+# +10-20% on the build's tf+encode stage — the build already crosses
+# to Python for the streaming block ENCODER, so the kernel adds a
+# second full Arrow crossing of the token rows, which costs more than
+# the interpreted-HOF tax it removes. Standalone tf queries (term_tf /
+# term_df) end at the tf rows, cross the boundary exactly once either
+# way, and measure −31%/−27% with the kernel — so `term_freqs` (the
+# query default) is the kernel and the build binds the HOF form. Both
+# zero-exchange plans; both property-pinned against term_freqs_shuffle.
+term_freqs_build = term_freqs_hof
+
+
 def doc_lens(tokenized: DataFrame) -> DataFrame:
     return tokenized.select("doc_id", "doc_len")
 
@@ -146,11 +208,13 @@ def corpus_stats(doclens: DataFrame) -> DataFrame:
 def tf_from_doc_table(doc_table: DataFrame) -> DataFrame:
     """Recompute (doc_id, doc_len, term, tf) from the slim persisted doc
     table (url+label → document → JVM tokenize) — lets consumers derive
-    tf without re-running the Python chunk stage."""
+    tf without re-running the Python chunk stage. Build-pipeline
+    consumer: binds `term_freqs_build` (module attribute, see above)
+    at CALL time so the bench A/B rebind works."""
     from vexor_spark.operators.chunking import with_document
 
     docs = tokenize_docs(with_document(doc_table), "document")
-    return term_freqs(docs.select("doc_id", "doc_len", "tokens"))
+    return term_freqs_build(docs.select("doc_id", "doc_len", "tokens"))
 
 
 def build_postings(
