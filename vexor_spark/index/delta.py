@@ -841,6 +841,12 @@ class SegmentedIndex:
         only, so delegate to the base index."""
         return self.base._theta_blobs(term, bids)
 
+    def _theta_blobs_multi(self, want: dict):
+        return self.base._theta_blobs_multi(want)
+
+    def prefetch_theta_meta(self, terms: list) -> None:
+        self.base.prefetch_theta_meta(terms)
+
     def search_distributed(
         self, query: str, k: int = 10, *, prune: bool = True,
         metrics: dict | None = None, round_dp: int | None = SCORE_ROUND_DP,

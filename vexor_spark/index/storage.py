@@ -342,6 +342,13 @@ def build_and_write_index(
 
 
 class PersistedIndex:
+    # Single-layer marker: the θ machinery's driver-side block METADATA
+    # covers the ENTIRE index, so WAND candidate generation can run on
+    # the driver (wand.pruned_scores) — a SegmentedIndex's metadata
+    # covers only the base layer (segment-layer passing blocks would be
+    # missed, an unsound candidate set), so it keeps the Spark pass.
+    _single_layer = True
+
     def __init__(self, spark: SparkSession, index_dir: str | Path):
         self.spark = spark
         self.dir = Path(index_dir)
@@ -435,34 +442,93 @@ class PersistedIndex:
                 self._term_meta_cache.pop(next(iter(self._term_meta_cache)))
         return meta, None
 
+    def prefetch_theta_meta(self, terms: list[str]) -> None:
+        """Fill the metadata cache for MANY terms in ONE pyarrow read —
+        the θ machinery touches every query term's metadata (volume
+        prechecks, seed probe), and per-term reads each pay the
+        dataset-scan fixed cost (~0.1 s on a 2M index). Terms already
+        in either cache are skipped."""
+        missing = [
+            t
+            for t in terms
+            if t not in self._term_meta_cache and t not in self._term_cache
+        ]
+        if not missing:
+            return
+        tbl = self._arrow_read(
+            "postings",
+            missing,
+            ["term", "block_id", "block_first", "block_last", "block_ub", "n"],
+        )
+        fresh: dict[str, list] = {t: [] for t in missing}
+        for t, bid, bf, bl, bub, n_ in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("block_id").to_pylist(),
+            tbl.column("block_first").to_pylist(),
+            tbl.column("block_last").to_pylist(),
+            tbl.column("block_ub").to_pylist(),
+            tbl.column("n").to_pylist(),
+        ):
+            fresh[t].append((bid, bf, bl, bub, int(n_)))
+        for t, meta in fresh.items():
+            meta.sort()
+            self._term_meta_cache[t] = meta
+        while len(self._term_meta_cache) > self.term_cache_max:
+            self._term_meta_cache.pop(next(iter(self._term_meta_cache)))
+
     def _theta_blobs(self, term: str, bids: list[int]) -> dict[int, bytes]:
         """{block_id: blob} for specific blocks of one term — the lazy
         payload fetch behind the θ walk / seed probe (metadata comes
-        from _term_blocks_for_theta). Serves from the full term cache
-        when present; otherwise a filtered pyarrow read of just the
-        requested blocks' blob column."""
-        if not bids:
-            return {}
-        if term in self._term_cache:
-            want = set(bids)
-            blocks, _df = self._term_cache[term]
-            return {b[0]: b[5] for b in blocks if b[0] in want}
+        from _term_blocks_for_theta)."""
+        return self._theta_blobs_multi({term: bids}).get(term, {})
+
+    def _theta_blobs_multi(
+        self, want: "dict[str, list[int]]"
+    ) -> "dict[str, dict[int, bytes]]":
+        """{term: {block_id: blob}} for specific blocks of MANY terms
+        in ONE filtered pyarrow read (block_id filter = the union of
+        the per-term requests — a small over-read beats one fixed-cost
+        dataset scan per term). Serves from the full term cache when
+        present."""
+        out: dict[str, dict[int, bytes]] = {}
+        need: dict[str, set] = {}
+        for term, bids in want.items():
+            if not bids:
+                continue
+            if term in self._term_cache:
+                w = set(int(b) for b in bids)
+                blocks, _df = self._term_cache[term]
+                out[term] = {b[0]: b[5] for b in blocks if b[0] in w}
+            else:
+                need[term] = {int(b) for b in bids}
+        if not need:
+            return out
         import pyarrow.dataset as pads
 
         buckets = sorted(
-            set(term_buckets_for(self.spark, [term], self.term_buckets).values())
+            set(
+                term_buckets_for(
+                    self.spark, list(need), self.term_buckets
+                ).values()
+            )
         )
+        all_bids = sorted(set().union(*need.values()))
         tbl = self._dataset("postings").to_table(
-            columns=["block_id", "blob"],
+            columns=["term", "block_id", "blob"],
             filter=(
                 pads.field("term_bucket").isin(buckets)
-                & (pads.field("term") == term)
-                & pads.field("block_id").isin([int(b) for b in bids])
+                & pads.field("term").isin(list(need))
+                & pads.field("block_id").isin(all_bids)
             ),
         )
-        return dict(
-            zip(tbl.column("block_id").to_pylist(), tbl.column("blob").to_pylist())
-        )
+        for t, bid, blob in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("block_id").to_pylist(),
+            tbl.column("blob").to_pylist(),
+        ):
+            if t in need and bid in need[t]:
+                out.setdefault(t, {})[bid] = blob
+        return out
 
     def _dataset(self, subdir: str):
         """pyarrow dataset handle, opened once per subdir — directory

@@ -128,10 +128,16 @@ def _theta_driver(pidx, t_star: str, df_star: int, k: int) -> float:
     idf = _idf(df_star, n)
     # metadata tuples: (block_id, first, last, block_ub, n)
     order = sorted(blocks, key=lambda b: -b[3])
+    # one batched fetch of the first two blocks — the exact stopping
+    # rule ends the walk there in practice; later blocks (rare) fetch
+    # singly.
+    prefetched = pidx._theta_blobs(t_star, [b[0] for b in order[:2]])
     kernels: list[float] = []
     kth = -1.0
     for i, b in enumerate(order):
-        blob = pidx._theta_blobs(t_star, [b[0]]).get(b[0])
+        blob = prefetched.get(b[0])
+        if blob is None:
+            blob = pidx._theta_blobs(t_star, [b[0]]).get(b[0])
         if blob is None:
             continue
         ids, tfs, dls = decode_blocks_np([blob], [b[4]])
@@ -214,6 +220,7 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         memo.clear()
     idf_map = {t: _idf(tdict[t][0], n) for t in present}
 
+    pidx.prefetch_theta_meta(list(present))  # one read for all terms
     term_blocks: dict[str, list] = {}
     exclude = None
     for t in present:
@@ -239,23 +246,39 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
     blob_store: dict[tuple, bytes] = {}
     budget = {"left": SEED_PROBE_MAX_BLOCKS}
 
-    def _prefetch(t: str, idxs: list) -> bool:
-        need = [
-            int(i) for i in idxs
-            if (t, int(i)) not in blob_store and (t, int(i)) not in decoded
-        ]
-        if not need:
+    def _prefetch_multi(want: dict) -> bool:
+        """Batched blob fetch across terms (ONE dataset read per call —
+        per-block reads each paid the dataset-scan fixed cost, the
+        round-7 2M probe's residual overhead). False = budget blown or
+        a blob missing; the caller declines (θ=0, sound)."""
+        need: dict[str, list[int]] = {}
+        n_need = 0
+        for t, idxs in want.items():
+            fresh = [
+                int(i) for i in idxs
+                if (t, int(i)) not in blob_store and (t, int(i)) not in decoded
+            ]
+            if fresh:
+                need[t] = fresh
+                n_need += len(fresh)
+        if not n_need:
             return True
-        if budget["left"] < len(need):
+        if budget["left"] < n_need:
             return False
-        budget["left"] -= len(need)
-        got = pidx._theta_blobs(t, [term_blocks[t][i][0] for i in need])
-        for i in need:
-            blob = got.get(term_blocks[t][i][0])
-            if blob is None:
-                return False
-            blob_store[(t, i)] = blob
+        budget["left"] -= n_need
+        got = pidx._theta_blobs_multi(
+            {t: [term_blocks[t][i][0] for i in idxs] for t, idxs in need.items()}
+        )
+        for t, idxs in need.items():
+            for i in idxs:
+                blob = got.get(t, {}).get(term_blocks[t][i][0])
+                if blob is None:
+                    return False
+                blob_store[(t, i)] = blob
         return True
+
+    def _prefetch(t: str, idxs: list) -> bool:
+        return _prefetch_multi({t: idxs})
 
     def _decode(t: str, i: int):
         key = (t, int(i))
@@ -274,7 +297,8 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         pos = np.minimum(np.searchsorted(exclude, ids), len(exclude) - 1)
         return exclude[pos] != ids
 
-    # --- seed pool
+    # --- seed pool (blob fetches batched: ONE read covers the star
+    # term's first blocks and every other term's top-ub block)
     seed_ids: set[int] = set()
     t_star = max(term_blocks, key=lambda t: idf_map[t] * tdict[t][1])
     star_order = sorted(
@@ -282,6 +306,17 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         key=lambda i: term_blocks[t_star][i][3],
         reverse=True,
     )
+    best_of = {
+        t: max(range(len(term_blocks[t])), key=lambda i: term_blocks[t][i][3])
+        for t in term_blocks
+        if t != t_star
+    }
+    pool_plan = {t_star: list(star_order[:2])}
+    for t, best in best_of.items():
+        pool_plan.setdefault(t, []).append(best)
+    if not _prefetch_multi(pool_plan):
+        memo[mkey] = 0.0
+        return 0.0
     for i in star_order:
         if not _prefetch(t_star, [i]):
             memo[mkey] = 0.0
@@ -290,10 +325,9 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
         seed_ids.update(ids[_live(ids)].tolist())
         if len(seed_ids) >= k:
             break
-    for t in term_blocks:
-        if t == t_star or len(seed_ids) >= SEED_POOL_MAX:
+    for t, best in best_of.items():
+        if len(seed_ids) >= SEED_POOL_MAX:
             continue
-        best = max(range(len(term_blocks[t])), key=lambda i: term_blocks[t][i][3])
         if not _prefetch(t, [best]):
             memo[mkey] = 0.0
             return 0.0
@@ -308,17 +342,23 @@ def _theta_seed(pidx, present: list[str], tdict: dict, k: int) -> float:
 
     # --- exact totals: per term, blocks partition the id space in
     # ascending order, so block_last arrays admit a vectorized locate;
-    # each term's needed blobs are fetched in ONE batched read.
+    # ALL terms' needed blobs are fetched in ONE batched read.
     totals = np.zeros(len(seeds), dtype=np.float64)
+    locate: dict[str, tuple] = {}
+    fetch_plan: dict[str, list] = {}
     for t, blocks in term_blocks.items():
         last = np.fromiter((b[2] for b in blocks), dtype=np.int64, count=len(blocks))
         first = np.fromiter((b[1] for b in blocks), dtype=np.int64, count=len(blocks))
         pos = np.searchsorted(last, seeds)
         valid = (pos < len(blocks)) & (first[np.minimum(pos, len(blocks) - 1)] <= seeds)
         needed = np.unique(pos[valid])
-        if not _prefetch(t, needed.tolist()):
-            memo[mkey] = 0.0
-            return 0.0
+        locate[t] = (pos, valid, needed)
+        fetch_plan[t] = needed.tolist()
+    if not _prefetch_multi(fetch_plan):
+        memo[mkey] = 0.0
+        return 0.0
+    for t in term_blocks:
+        pos, valid, needed = locate[t]
         for bi in needed:
             ids, kern = _decode(t, int(bi))
             sel = np.flatnonzero(valid & (pos == bi))
@@ -380,6 +420,7 @@ def _passing_volume(pidx, present, idf_map, rest_ub, theta, f):
 
     if len(present) > SEED_REFINE_MAX_TERMS:
         return None
+    pidx.prefetch_theta_meta(list(present))  # one read for all terms
     vol = 0
     for t in present:
         blocks, _exc = pidx._term_blocks_for_theta(t)
@@ -773,6 +814,45 @@ def pruned_scores(
         + F.col("rest_ub")
         >= F.lit(theta),
     )
+    # Candidate generation (round-7): on a SINGLE-layer index the
+    # driver already holds every term's block metadata, and engagement
+    # required the passing-block posting volume ≤ MAX_CANDIDATES — so
+    # the passing blobs are a small bounded read and candidates can be
+    # computed driver-side with ZERO Spark jobs (the Spark candidate
+    # pass cost a persist + a decode job + a distinct+collect, which
+    # at 2M outweighed the decode it saved — the engaged-head residual
+    # of the round-6 verdict item 2). Layered indexes keep the Spark
+    # pass: their driver metadata covers only the base layer, and a
+    # candidate set missing segment-layer passing blocks would be
+    # unsound.
+    candidates = None
+    if getattr(pidx, "_single_layer", False):
+        candidates = _candidates_driver(
+            pidx, present, idf_map, rest_ub, theta, float(pidx.ub_factor), metrics
+        )
+    if candidates is not None:
+        if metrics is not None:
+            metrics["candidates"] = len(candidates)
+            metrics["candidates_driver"] = True
+            metrics["pruned"] = True
+        if not candidates:
+            return spark.createDataFrame([], "doc_id long, score double")
+        # the NEEDED block set (passing ∪ contains-a-candidate) is
+        # also metadata-computable — the rescore becomes one broadcast
+        # (term, block_id) semi-join, with no bound join, no
+        # nested-loop containment join, no dropDuplicates exchange.
+        need_keys = _needed_keys_driver(
+            pidx, present, idf_map, rest_ub, theta, float(pidx.ub_factor),
+            candidates,
+        )
+        if metrics is not None:
+            metrics["blocks_decoded"] = len(need_keys)
+        ndf = spark.createDataFrame(need_keys, "term string, block_id int")
+        needed = blocks.join(F.broadcast(ndf), ["term", "block_id"], "left_semi")
+        cset_df = spark.createDataFrame(
+            [(int(c),) for c in candidates], "doc_id long"
+        )
+        return pidx._score_blocks(needed, candidates=cset_df)
     bounded = bounded.persist()
     try:
         candidates_rows = (
@@ -792,46 +872,126 @@ def pruned_scores(
         if not candidates:
             return spark.createDataFrame([], "doc_id long, score double")
 
-        # --- exact rescore: decode passing blocks + any block whose doc-id
-        # range contains a candidate (so candidates' contributions from
-        # "failed" blocks are still counted)
-        cand_arr = F.array(*[F.lit(int(c)) for c in candidates]) if len(candidates) <= 1000 else None
-        if cand_arr is not None:
-            contains_cand = (
-                F.size(
-                    F.filter(
-                        cand_arr,
-                        lambda c: (c >= F.col("block_first")) & (c <= F.col("block_last")),
-                    )
-                )
-                > 0
-            )
-        else:
-            # large candidate sets: join block ranges against a candidate DF
-            contains_cand = None
-        if contains_cand is not None:
-            needed = bounded.filter(F.col("passes") | contains_cand)
-        else:
-            cdf = spark.createDataFrame([(int(c),) for c in candidates], "cand long")
-            hit = (
-                bounded.join(
-                    F.broadcast(cdf),
-                    (F.col("cand") >= F.col("block_first"))
-                    & (F.col("cand") <= F.col("block_last")),
-                    "left_semi",
-                )
-            )
-            # (term, _layer, block_id) is the cross-layer block key —
-            # base and segment layers can reuse the same block_id.
-            needed = bounded.filter("passes").unionByName(hit).dropDuplicates(
-                ["term", "_layer", "block_id"]
-            )
-
-        if metrics is not None:
-            metrics["blocks_decoded"] = needed.count()
-        cset_df = spark.createDataFrame([(int(c),) for c in candidates], "doc_id long")
-        # the index's own scorer: applies its tombstone filtering (the
-        # segmented view) before the candidate semi-join + aggregation.
-        return pidx._score_blocks(needed, candidates=cset_df)
+        return _rescore(pidx, spark, bounded, candidates, metrics)
     finally:
         bounded.unpersist()
+
+
+def _candidates_driver(
+    pidx, present, idf_map, rest_ub, theta, f, metrics=None
+):
+    """Sorted candidate doc_ids computed ON THE DRIVER from the block
+    metadata + a bounded batched blob read of the passing blocks —
+    sound only on single-layer indexes (the metadata covers the whole
+    index). Engagement already proved Σ n over passing blocks ≤
+    MAX_CANDIDATES, so candidates can never overflow the cap. Returns
+    None if a blob is unexpectedly missing (caller falls back to the
+    Spark candidate pass)."""
+    import numpy as np
+
+    from vexor_spark.functions.codec import decode_blocks_np
+
+    pidx.prefetch_theta_meta(list(present))
+    want: dict[str, list] = {}
+    metas: dict[str, list] = {}
+    total_blocks = passing_blocks = 0
+    for t in present:
+        blocks_m, _exc = pidx._term_blocks_for_theta(t)
+        total_blocks += len(blocks_m)
+        # IDENTICAL bound expression to the DataFrame `passes` column
+        # (same doubles, same association order)
+        sel = [b for b in blocks_m if idf_map[t] * b[3] * f + rest_ub[t] >= theta]
+        passing_blocks += len(sel)
+        if sel:
+            want[t] = [b[0] for b in sel]
+            metas[t] = sel
+    if metrics is not None:
+        metrics["blocks_total"] = total_blocks
+        metrics["blocks_passing"] = passing_blocks
+    if not want:
+        return []
+    got = pidx._theta_blobs_multi(want)
+    ids_all = []
+    for t, sel in metas.items():
+        blobs = [got.get(t, {}).get(b[0]) for b in sel]
+        if any(bl is None for bl in blobs):
+            return None
+        ids, _tfs, _dls = decode_blocks_np(blobs, [b[4] for b in sel])
+        ids_all.append(ids)
+    return [int(c) for c in np.unique(np.concatenate(ids_all))]
+
+
+def _needed_keys_driver(
+    pidx, present, idf_map, rest_ub, theta, f, candidates
+):
+    """[(term, block_id)] of the blocks the exact rescore must decode:
+    passing blocks ∪ blocks whose doc-id range contains a candidate —
+    computed from the driver block metadata (sorted-candidate
+    searchsorted containment), single-layer indexes only."""
+    import numpy as np
+
+    cands = np.asarray(sorted(candidates), dtype=np.int64)
+    keys: list[tuple] = []
+    for t in present:
+        blocks_m, _exc = pidx._term_blocks_for_theta(t)
+        if not blocks_m:
+            continue
+        firsts = np.fromiter((b[1] for b in blocks_m), np.int64, len(blocks_m))
+        lasts = np.fromiter((b[2] for b in blocks_m), np.int64, len(blocks_m))
+        ubs = np.fromiter((b[3] for b in blocks_m), np.float64, len(blocks_m))
+        # same IEEE op order as the scalar bound in _candidates_driver
+        passing = (idf_map[t] * ubs * f + rest_ub[t]) >= theta
+        pos = np.searchsorted(cands, firsts)
+        contains = (pos < len(cands)) & (
+            cands[np.minimum(pos, len(cands) - 1)] <= lasts
+        )
+        sel = passing | contains
+        keys.extend(
+            (t, int(blocks_m[i][0])) for i in np.flatnonzero(sel)
+        )
+    return keys
+
+
+def _rescore(pidx, spark, bounded, candidates, metrics=None):
+    """Exact rescore: decode passing blocks + any block whose doc-id
+    range contains a candidate (so candidates' contributions from
+    "failed" blocks are still counted); the aggregation is restricted
+    to the candidate set via a broadcast semi-join."""
+    cand_arr = F.array(*[F.lit(int(c)) for c in candidates]) if len(candidates) <= 1000 else None
+    if cand_arr is not None:
+        contains_cand = (
+            F.size(
+                F.filter(
+                    cand_arr,
+                    lambda c: (c >= F.col("block_first")) & (c <= F.col("block_last")),
+                )
+            )
+            > 0
+        )
+    else:
+        # large candidate sets: join block ranges against a candidate DF
+        contains_cand = None
+    if contains_cand is not None:
+        needed = bounded.filter(F.col("passes") | contains_cand)
+    else:
+        cdf = spark.createDataFrame([(int(c),) for c in candidates], "cand long")
+        hit = (
+            bounded.join(
+                F.broadcast(cdf),
+                (F.col("cand") >= F.col("block_first"))
+                & (F.col("cand") <= F.col("block_last")),
+                "left_semi",
+            )
+        )
+        # (term, _layer, block_id) is the cross-layer block key —
+        # base and segment layers can reuse the same block_id.
+        needed = bounded.filter("passes").unionByName(hit).dropDuplicates(
+            ["term", "_layer", "block_id"]
+        )
+
+    if metrics is not None:
+        metrics["blocks_decoded"] = needed.count()
+    cset_df = spark.createDataFrame([(int(c),) for c in candidates], "doc_id long")
+    # the index's own scorer: applies its tombstone filtering (the
+    # segmented view) before the candidate semi-join + aggregation.
+    return pidx._score_blocks(needed, candidates=cset_df)
