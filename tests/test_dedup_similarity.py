@@ -326,3 +326,43 @@ def test_simhash64_reference_and_blocking(spark):
     }
     assert (0, 3) in got_pairs  # exact dup planted
     assert got_pairs == brute
+
+
+def test_multi_cosine_kernel_bit_identical(spark):
+    """The Arrow cosine/LSH kernels must equal the Column folds
+    BIT-FOR-BIT (same left-to-right IEEE accumulation) — the DuckDB
+    oracles mirror the folds, so a single differing ulp would break
+    cross-engine parity after rounding at a boundary."""
+    import random
+
+    from vexor_spark.operators.similarity import (
+        cosine_lit_col,
+        hyperplanes,
+        lsh_bucket_col,
+        make_lsh_bucket_udf,
+        make_multi_cosine_udf,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(300)
+    ] + [(300, [0.0] * dim)]  # zero-norm row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    refs = [
+        [rng.uniform(-1, 1) for _ in range(dim)],
+        [float(j % 5) for j in range(dim)],
+        [0.0] * dim,  # zero-norm reference
+    ]
+    planes = hyperplanes(dim)
+    out = df.select(
+        "vec_id",
+        *[cosine_lit_col(F.col("embedding"), r).alias(f"f{m}") for m, r in enumerate(refs)],
+        make_multi_cosine_udf(refs)(F.col("embedding")).alias("kc"),
+        lsh_bucket_col(F.col("embedding"), planes).alias("fb"),
+        make_lsh_bucket_udf(planes)(F.col("embedding")).alias("kb"),
+    ).collect()
+    for r in out:
+        for m in range(len(refs)):
+            assert r[f"f{m}"] == r["kc"][m], (r["vec_id"], m)
+        assert r["fb"] == r["kb"], r["vec_id"]

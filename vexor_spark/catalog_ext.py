@@ -430,7 +430,9 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _qvec(spark, sf_dir)
     dense_scored = emb.select(
         F.col("vec_id").cast("long").alias("doc_id"),
-        sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
+        F.element_at(
+            sim.make_multi_cosine_udf([qv])(F.col("embedding")), 1
+        ).alias("dense_score"),
     )
     # The bm25 leg is referenced 3× inside rrf_topk's single plan
     # (top-T, candidate-score join, beat-count); an EAGER localCheckpoint
@@ -532,7 +534,9 @@ def q_weighted_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_rows = (
         emb.select(
             F.col("vec_id").cast("long").alias("doc_id"),
-            sim.cosine_lit_col(F.col("embedding"), qv).alias("dense_score"),
+            F.element_at(
+            sim.make_multi_cosine_udf([qv])(F.col("embedding")), 1
+        ).alias("dense_score"),
         )
         .orderBy(F.desc("dense_score"), F.asc("doc_id"))
         .limit(RERANK_CAND)

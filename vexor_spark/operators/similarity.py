@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +67,72 @@ def cosine_lit_col(vec: Column, query: list[float]) -> Column:
     return F.when(n > 0, dot_col(vec, query) / (n * F.lit(qnorm))).otherwise(F.lit(0.0))
 
 
+def make_multi_cosine_udf(vectors: list[list[float]]):
+    """vec → array<double> of cosine(vec, vectors[m]) — the vectorized
+    Arrow twin of cosine_lit_col, BIT-IDENTICAL by construction
+    (round-7; pinned in tests/test_dedup_similarity.py):
+
+    the Column fold accumulates left-to-right per element
+    (((0+x0·w0)+x1·w1)+…), and the kernel's per-dimension numpy loop
+    `acc = acc + v[:, i]·w_i` performs the SAME IEEE op sequence for
+    every row at C speed — one kernel pass covers ALL m reference
+    vectors (the IVF cell assignment evaluated 8 interpreted folds per
+    row). Zero-norm rows yield 0.0, zero-norm reference vectors yield
+    0.0 (matching cosine_lit_col's lit(0.0) short-circuit)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    W = [np.asarray(v, dtype=np.float64) for v in vectors]
+    qnorms = [float(np.sqrt(np.sum(w**2))) for w in W]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def multi_cosine(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n_rows, dim = V.shape
+        # sequential left-to-right norm, same order as norm_col's fold
+        nacc = np.zeros(n_rows)
+        for i in range(dim):
+            nacc = nacc + V[:, i] * V[:, i]
+        norms = np.sqrt(nacc)
+        out = np.zeros((n_rows, len(W)))
+        pos = norms > 0
+        for m, w in enumerate(W):
+            if qnorms[m] == 0:
+                continue
+            dacc = np.zeros(n_rows)
+            for i in range(dim):
+                dacc = dacc + V[:, i] * w[i]
+            out[pos, m] = dacc[pos] / (norms[pos] * qnorms[m])
+        return pd.Series(list(out))
+
+    return multi_cosine
+
+
+def make_lsh_bucket_udf(planes: list[list[float]]):
+    """vec → long LSH bucket — vectorized twin of lsh_bucket_col (bit
+    j = [dot(vec, plane_j) ≥ 0], dots in the same sequential order)."""
+    from pyspark.sql.types import LongType
+
+    P = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    @F.pandas_udf(LongType())
+    def lsh_bucket(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n_rows, dim = V.shape
+        bucket = np.zeros(n_rows, dtype=np.int64)
+        for j, p in enumerate(P):
+            acc = np.zeros(n_rows)
+            for i in range(dim):
+                acc = acc + V[:, i] * p[i]
+            bucket |= np.where(acc >= 0, np.int64(1 << j), np.int64(0))
+        return pd.Series(bucket)
+
+    return lsh_bucket
+
+
 def cosine_topk(
     emb: DataFrame,
     query: list[float],
@@ -79,7 +146,10 @@ def cosine_topk(
     TakeOrderedAndProject + bounded driver rank (plans/topk.py)."""
     from vexor_spark.plans.topk import take_ranked
 
-    cos = cosine_lit_col(F.col(vec_col), query)
+    # vectorized Arrow cosine kernel (bit-identical to the Column fold
+    # — make_multi_cosine_udf docstring; the fold evaluated one
+    # interpreted lambda per element per row)
+    cos = F.element_at(make_multi_cosine_udf([query])(F.col(vec_col)), 1)
     scored = emb.select(F.col(id_col).cast("long").alias(id_col), cos.alias("cos"))
     if round_dp is not None:
         scored = scored.withColumn("cos", F.round("cos", round_dp))
@@ -140,7 +210,7 @@ def embedding_near_dup_pairs(
     bucketed = emb.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        make_lsh_bucket_udf(planes)(F.col(vec_col)).alias("bucket"),
     )
     left = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     right = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
@@ -253,13 +323,16 @@ def with_ivf_cell(
     refuses to inline a non-cheap alias used more than once — the same
     barrier trick as the token-hash arrays in dedup)."""
     n = len(centroids)
-    with_cos = df.select(
-        "*",
-        *[
-            cosine_lit_col(F.col(vec_col), c).alias(f"_cc{j}")
-            for j, c in enumerate(centroids)
-        ],
+    # ONE Arrow kernel pass computes every centroid cosine (round-7;
+    # the previous shape evaluated n interpreted folds per row); the
+    # array is aliased in its own projection so the kernel runs once.
+    with_arr = df.select(
+        "*", make_multi_cosine_udf(centroids)(F.col(vec_col)).alias("_ccs")
     )
+    with_cos = with_arr.select(
+        "*",
+        *[F.element_at(F.col("_ccs"), j + 1).alias(f"_cc{j}") for j in range(n)],
+    ).drop("_ccs")
     best = F.greatest(*[F.col(f"_cc{j}") for j in range(n)])
     expr = None
     for j in range(n):
@@ -326,7 +399,9 @@ def ann_topk(
     buckets = [b0]
     if probe_buckets > 1:
         buckets += [b0 ^ (1 << j) for j in range(min(probe_buckets - 1, len(planes)))]
-    bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    bucketed = emb.withColumn(
+        "_bucket", make_lsh_bucket_udf(planes)(F.col(vec_col))
+    )
     candidates = bucketed.filter(F.col("_bucket").isin([int(b) for b in buckets]))
     return cosine_topk(
         candidates, query, k, id_col=id_col, vec_col=vec_col, round_dp=round_dp
