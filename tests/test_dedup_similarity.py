@@ -366,3 +366,67 @@ def test_multi_cosine_kernel_bit_identical(spark):
         for m in range(len(refs)):
             assert r[f"f{m}"] == r["kc"][m], (r["vec_id"], m)
         assert r["fb"] == r["kb"], r["vec_id"]
+
+
+def test_bucket_pairs_payload_filter_identity(spark):
+    """bucket_candidate_pairs payload/pair_filter (round-7): filtering
+    an exact per-pair predicate BEFORE the distinct must yield exactly
+    the plain candidate set post-filtered AFTER it — chunked (tiny
+    max_bucket forces the chunk replication path) and unchunked."""
+    import random
+
+    from vexor_spark.operators.dedup import bucket_candidate_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(8), rng.randrange(1 << 16)) for i in range(200)
+    ]
+    keyed = spark.createDataFrame(rows, "doc_id long, bucket_key long, sim long")
+
+    for cap in (None, 4):
+        plain = bucket_candidate_pairs(keyed, max_bucket=cap)
+        sims = {r["doc_id"]: r["sim"] for r in keyed.collect()}
+        expected = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in plain.collect()
+            if bin(sims[r["doc_a"]] ^ sims[r["doc_b"]]).count("1") <= 3
+        )
+        fused = bucket_candidate_pairs(
+            keyed,
+            max_bucket=cap,
+            payload=("sim",),
+            pair_filter=(
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3
+            ),
+        )
+        got = sorted((r["doc_a"], r["doc_b"]) for r in fused.collect())
+        assert got == expected, f"cap={cap}"
+        # the carried payload must be the pair docs' own values
+        for r in fused.collect():
+            assert r["sim_a"] == sims[r["doc_a"]] and r["sim_b"] == sims[r["doc_b"]]
+
+
+def test_widen_undersplit_scan(spark, tmp_path, monkeypatch):
+    """Round-7 scan widening: a 1-split parquet scan above the per-task
+    work floor is lifted to defaultParallelism partitions with identical
+    rows; a scan below the floor and an already-wide frame are returned
+    untouched (no exchange added)."""
+    import vexor_spark.catalog as cat
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(0, 1000).selectExpr("id AS doc_id", "concat('t', id) AS text") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+
+    # tiny scan: below the floor — no exchange added
+    assert cat.widen_undersplit_scan(narrow) is narrow
+
+    # above the floor (floor lowered, not the data inflated)
+    monkeypatch.setattr(cat, "MIN_WIDEN_BYTES_PER_TASK", 1)
+    wide = cat.widen_undersplit_scan(narrow)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["doc_id"] for r in wide.collect()) == list(range(1000))
+
+    already = narrow.repartition(spark.sparkContext.defaultParallelism + 2)
+    assert cat.widen_undersplit_scan(already) is already

@@ -47,11 +47,59 @@ tf AS (
 )"""
 
 
-def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+# Widening floor: only repartition when each target task would carry at
+# least this much scan input. Below it the exchange + N-task scheduling
+# overhead exceeds the serial-kernel cost it removes (interleaved A/B:
+# +20% on the sf0.1 suite where docs = 0.59 MB/32 cores = 19 KB/task,
+# −40% at 10× where it is 186 KB/task). Expressed per task, so the rule
+# is cluster-size-portable, not a local[32] constant.
+MIN_WIDEN_BYTES_PER_TASK = 64 * 1024
+
+
+def widen_undersplit_scan(df: DataFrame) -> DataFrame:
+    """Lift an under-split scan to cluster parallelism.
+
+    The catalog tables arrive as a handful of parquet files whose row
+    groups cannot be split further, so the scan yields 1-2 partitions
+    regardless of cluster size — and everything fed by it (Arrow
+    kernels, tokenizers, the AST chunker) runs on 1-2 of the N cores.
+    One round-robin exchange of the scan output (cheap: the pruned
+    columns only — projection and parquet predicate pushdown both pass
+    through a Repartition) restores N-way parallelism. Scale-adaptive
+    by construction, twice over: the target is the cluster's
+    defaultParallelism, and the exchange is added only when the scan
+    is big enough that every target task clears a per-task work floor
+    (tiny inputs keep their pipelined 1-2-partition plan). A scan that
+    is already at least cluster-wide (normal production file layout)
+    is returned untouched.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable — keep the scan as is
+        return df
+    if size < MIN_WIDEN_BYTES_PER_TASK * target:
+        return df
+    return df.repartition(target)
+
+
+def docs_table(spark: SparkSession, sf_dir: str, *, widen: bool = True) -> DataFrame:
+    """`widen=False` opts a caller out of the scan widening: paths that
+    are pure whole-stage codegen over few columns and already sub-second
+    (the explode+InSet BM25 legs) measured the exchange as a net loss
+    (+9% at 10× sf0.1), while every Python-kernel consumer wins big."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return widen_undersplit_scan(df) if widen else df
 
 
 def embeddings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: every embeddings consumer (cosine/ANN/RRF dense leg)
+    # is either a single codegen fold pass or a one-batch Arrow kernel
+    # over ≤tens of MB; the interleaved 10× A/B measured the exchange as
+    # +27-36% on cosine_topk / ann_lsh_topk with no winner among them.
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -172,7 +220,10 @@ SELECT {cols} FROM ranked WHERE rank <= {k}"""
 def q_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the flagship query (A5 + W1 + J2)."""
     return bm25_topk_multi(
-        docs_table(spark, sf_dir), {"q": FLAGSHIP_QUERY}, 10, round_dp=SCORE_ROUND_DP
+        docs_table(spark, sf_dir, widen=False),
+        {"q": FLAGSHIP_QUERY},
+        10,
+        round_dp=SCORE_ROUND_DP,
     ).drop("query")
 
 
@@ -182,7 +233,7 @@ SQL_BM25_TOP10 = _bm25_sql({"q": FLAGSHIP_QUERY}, 10, single=True)
 def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BM25: 4 queries scored in one plan, top-5 each."""
     return bm25_topk_multi(
-        docs_table(spark, sf_dir), MULTI_QUERIES, 5, round_dp=SCORE_ROUND_DP
+        docs_table(spark, sf_dir, widen=False), MULTI_QUERIES, 5, round_dp=SCORE_ROUND_DP
     )
 
 

@@ -388,7 +388,7 @@ def _bm25_scores_docs(spark: SparkSession, sf_dir: str, query: str) -> DataFrame
     from vexor_spark.operators.postings import tokenize_docs
     from vexor_spark.operators.scoring import bm25_contribution_col
 
-    docs = docs_table(spark, sf_dir)
+    docs = docs_table(spark, sf_dir, widen=False)
     # lazy localCheckpoint: one tokenize pass feeds both the stats
     # action and the scoring plan (see scoring.bm25_topk_multi).
     tokenized = tokenize_docs(

@@ -137,7 +137,11 @@ DEFAULT_MAX_BUCKET = 1024
 
 
 def bucket_candidate_pairs(
-    keyed: DataFrame, *, max_bucket: int | None = DEFAULT_MAX_BUCKET
+    keyed: DataFrame,
+    *,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    payload: tuple[str, ...] = (),
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b), doc_a < doc_b, for docs sharing any
     `bucket_key` in `keyed(doc_id, bucket_key)` — the skew-bounded
@@ -153,34 +157,58 @@ def bucket_candidate_pairs(
     more than C left rows × m right rows — per-task work bounded by C·m
     instead of m², spread over ⌈m/C⌉ keys. Replication factor = ⌈m/C⌉
     on the right side only. max_bucket=None restores the plain join.
+
+    `payload` columns of `keyed` ride the self-join as `<col>_a` /
+    `<col>_b` on the pair rows and survive the distinct (their values
+    are functions of the doc ids, so they do not change its key set).
+    `pair_filter` — a predicate over those pair rows — is applied
+    BEFORE the distinct: for a predicate that depends only on
+    (doc_a, doc_b) it commutes with the dedup, so the output set is
+    identical while the distinct shuffles only surviving pairs. On
+    clustered corpora the blocking emits orders of magnitude more
+    candidates than survive an exact pre-verify (e.g. Hamming over
+    carried 8-byte sketches), so filtering inside the join stage
+    collapses both the distinct's exchange and the downstream
+    per-side lookup joins.
     """
+    out_cols = ["doc_a", "doc_b"]
+    out_cols += [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
+
+    def _finish(joined: DataFrame) -> DataFrame:
+        joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
+        if pair_filter is not None:
+            joined = joined.filter(pair_filter)
+        return joined.select(*out_cols).distinct()
+
     if max_bucket is None:
-        left = keyed.select(F.col("doc_id").alias("doc_a"), "bucket_key")
-        right = keyed.select(F.col("doc_id").alias("doc_b"), "bucket_key")
-        return (
-            left.join(right, "bucket_key")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+        left = keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            "bucket_key",
+            *[F.col(c).alias(f"{c}_a") for c in payload],
         )
+        right = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            "bucket_key",
+            *[F.col(c).alias(f"{c}_b") for c in payload],
+        )
+        return _finish(left.join(right, "bucket_key"))
     w = Window.partitionBy("bucket_key").orderBy("doc_id")
     idx = keyed.withColumn("i", F.row_number().over(w) - 1).withColumn(
         "chunk", (F.col("i") / F.lit(int(max_bucket))).cast("int")
     )
     left = idx.select(
-        F.col("doc_id").alias("doc_a"), "bucket_key", F.col("chunk").alias("c")
+        F.col("doc_id").alias("doc_a"),
+        "bucket_key",
+        F.col("chunk").alias("c"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
     )
     right = idx.select(
         F.col("doc_id").alias("doc_b"),
         "bucket_key",
         F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("c"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
     )
-    return (
-        left.join(right, ["bucket_key", "c"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _finish(left.join(right, ["bucket_key", "c"]))
 
 
 def lsh_candidate_pairs(
@@ -421,27 +449,30 @@ def simhash_near_dup_pairs(
     )
     keyed = per_doc.select(
         "doc_id",
+        "sim",
         F.explode(simhash_block_keys(F.col("sim"), bits=bits, blocks=blocks)).alias(
             "bucket_key"
         ),
     )
-    pairs = bucket_candidate_pairs(keyed, max_bucket=max_bucket)
-    # NARROW-THEN-WIDE: on a clustered corpus the blocking emits far
-    # more candidates than survive the Hamming filter (measured 290k →
-    # ~hundreds at sf0.1 for the 64-bit arm), so the pair join first
-    # carries only the 8-byte sketches, filters on Hamming, and only
-    # survivors fetch the ~100-element shingle-hash arrays for the
-    # exact Jaccard verify.
-    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
-    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
-    ham = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
-        .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
+    # NARROW-THEN-WIDE, now inside the pair join itself: the 8-byte
+    # sketch rides the self-join as payload and the exact Hamming test
+    # runs BEFORE the distinct (identical output — the predicate is a
+    # function of the pair), so on a clustered corpus the distinct
+    # dedups only survivors (measured 26M candidates → ~31k survivors
+    # at 10× sf0.1 for the 64-bit arm) and the two per-side sketch
+    # lookup joins disappear outright. Only survivors fetch the
+    # ~100-element shingle-hash arrays for the exact Jaccard verify.
+    ham = bucket_candidate_pairs(
+        keyed,
+        max_bucket=max_bucket,
+        payload=("sim",),
+        pair_filter=(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= hamming_max
+        ),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
     )
     a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -571,27 +602,27 @@ def simhash64_near_dup_pairs(
     )
     keyed = per_doc.select(
         "doc_id",
+        "sim",
         F.explode(
             simhash_block_keys(F.col("sim"), bits=SIMHASH64_BITS, blocks=blocks)
         ).alias("bucket_key"),
     )
-    pairs = bucket_candidate_pairs(keyed, max_bucket=max_bucket)
-    # NARROW-THEN-WIDE: on a clustered corpus the blocking emits far
-    # more candidates than survive the Hamming filter (measured 290k →
-    # ~hundreds at sf0.1 for the 64-bit arm), so the pair join first
-    # carries only the 8-byte sketches, filters on Hamming, and only
-    # survivors fetch the ~100-element shingle-hash arrays for the
-    # exact Jaccard verify.
-    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
-    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
-    ham = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
-        .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
+    # NARROW-THEN-WIDE inside the pair join (see the 16-bit arm): the
+    # sketch rides the self-join as payload and the exact Hamming test
+    # runs before the distinct — identical output, but the distinct
+    # dedups only survivors (26M candidates → ~31k at 10× sf0.1) and
+    # the two per-side sketch lookup joins disappear.
+    ham = bucket_candidate_pairs(
+        keyed,
+        max_bucket=max_bucket,
+        payload=("sim",),
+        pair_filter=(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= hamming_max
+        ),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
     )
     a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
