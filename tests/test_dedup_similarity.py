@@ -430,3 +430,43 @@ def test_widen_undersplit_scan(spark, tmp_path, monkeypatch):
 
     already = narrow.repartition(spark.sparkContext.defaultParallelism + 2)
     assert cat.widen_undersplit_scan(already) is already
+
+
+def test_simhash_kernel_dense_equals_lane_path(monkeypatch):
+    """Round-7 Zipf fast path: the doc×unique count-matrix SimHash must
+    be bit-identical to the occurrence-lane reduceat path on the same
+    batch — 64-bit spread arm and 16-bit direct arm, including empty
+    docs, sub-shingle docs, nulls, and high-entropy tails."""
+    import numpy as np
+    import pandas as pd
+
+    import vexor_spark.operators.dedup_kernels as dk
+    from vexor_spark.operators.dedup import SIMHASH64_PARAMS
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = [
+        list(rng.choice(vocab, size=int(rng.integers(0, 40))))
+        + [f"uniq{i}_{j}" for j in range(int(rng.integers(0, 3)))]
+        for i in range(300)
+    ]
+    docs[5] = []
+    docs[9] = ["one"]
+    docs[12] = ["a", "b"]
+    tokens = pd.Series([np.array(d, dtype=object) for d in docs])
+    tokens[17] = None
+
+    for bits, params in ((64, SIMHASH64_PARAMS), (16, None)):
+        fn = dk.make_simhash_features_udf(bits, params, 3).func
+        monkeypatch.setattr(dk, "_DENSE_MAX_RATIO", 10**9)
+        dense = fn(tokens)
+        monkeypatch.setattr(dk, "_DENSE_MAX_RATIO", 0)
+        lane = fn(tokens)
+        for i in range(len(docs)):
+            d, l = dense["sim"][i], lane["sim"][i]
+            assert (pd.isna(d) and pd.isna(l)) or d == l, (bits, i)
+            ds, ls = dense["sh"][i], lane["sh"][i]
+            if ds is None or (not hasattr(ds, "__len__") and pd.isna(ds)):
+                assert ls is None or (not hasattr(ls, "__len__") and pd.isna(ls))
+            else:
+                assert list(ds) == list(ls), (bits, i)

@@ -85,3 +85,25 @@ def test_udf_null_handling(spark):
     assert rows[0]["h"] is None and rows[0]["th"] is None
     assert rows[1]["h"] == _ref("ab")
     assert list(rows[1]["th"]) == [_ref("ab"), 0]
+
+
+def test_factorized_memoization_identity():
+    """Round-7 memoization: the factorize-and-gather path must equal
+    the raw Horner fold occurrence-for-occurrence — dup-heavy,
+    all-unique, empties, CJK, astral plane."""
+    from vexor_spark.functions.fasthash import (
+        _hash_many_short_raw,
+        hash_many_short,
+        hash_tokens_factorized,
+    )
+
+    dup_heavy = (["spark", "", "merge", "漢字", "𐍈x", "a" * 300] * 500) + [
+        f"u{i}" for i in range(100)
+    ]
+    all_unique = [f"tok{i}" for i in range(1000)]
+    for strs in (dup_heavy, all_unique, [], [""], ["x"]):
+        raw = _hash_many_short_raw(list(strs))
+        memo = hash_many_short(list(strs))
+        assert memo.tolist() == raw.tolist()
+        codes, uh = hash_tokens_factorized(list(strs))
+        assert (uh[codes] if len(strs) else uh).tolist() == raw.tolist()

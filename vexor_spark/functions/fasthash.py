@@ -59,8 +59,38 @@ def _pow31(n: int) -> np.ndarray:
 
 
 def hash_many_short(strs: list) -> np.ndarray:
-    """int64 poly hashes of many (typically short) strings — Horner
-    across strings, one vectorized step per character position."""
+    """int64 poly hashes of many (typically short) strings.
+
+    Token streams are Zipf-distributed — the same handful of vocabulary
+    strings repeats millions of times — so the batch is first factorized
+    (one C-speed hash-table pass) and the Horner fold runs over the
+    UNIQUE strings only; per-occurrence hashes are a single gather.
+    Identical values to hashing each occurrence directly (same
+    per-string fold, memoized)."""
+    codes, uh = hash_tokens_factorized(strs)
+    if len(uh) == len(codes):
+        return uh  # all unique — uh is already in occurrence order
+    return uh[codes]
+
+
+def hash_tokens_factorized(strs: list) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, unique_hashes): factorize the token stream and hash the
+    unique strings only. occurrence hash i == unique_hashes[codes[i]].
+    Kernels that aggregate per-token functions (SimHash bit counts) can
+    work per UNIQUE value and weight by occurrence counts."""
+    n = len(strs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    codes, uniques = pd.factorize(
+        strs if isinstance(strs, np.ndarray) else np.asarray(strs, dtype=object),
+        use_na_sentinel=False,
+    )
+    return codes, _hash_many_short_raw(list(uniques))
+
+
+def _hash_many_short_raw(strs: list) -> np.ndarray:
+    """Horner across strings, one vectorized step per character
+    position (the pre-memoization kernel; bit-identity reference)."""
     n = len(strs)
     out = np.zeros(n, dtype=np.uint64)
     if n == 0:

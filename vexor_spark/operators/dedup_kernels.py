@@ -33,10 +33,22 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-from vexor_spark.functions.fasthash import HASH_MOD, hash_many_short
+from vexor_spark.functions.fasthash import (
+    HASH_MOD,
+    hash_many_short,
+    hash_tokens_factorized,
+)
 
 _M = np.uint64(HASH_MOD)
 _31 = np.uint64(31)
+
+# SimHash dense-count gate: use the doc×unique count-matrix path when
+# its work (n_docs · n_unique) is within this factor of the occurrence
+# count — Zipf token streams qualify by orders of magnitude; a
+# high-entropy batch (n_unique ~ |occurrences|) falls back to the
+# occurrence-lane reduceat path. Tests monkeypatch this to force and
+# cross-check both paths on identical data.
+_DENSE_MAX_RATIO = 8
 
 
 def _flatten(tokens: pd.Series):
@@ -96,7 +108,13 @@ def _shingle_occurrences(th: np.ndarray, counts: np.ndarray, shingle_n: int):
 
 
 def _sh_lists(H: np.ndarray, starts: np.ndarray, sizes: np.ndarray):
-    """Per-doc sorted distinct shingle-hash arrays (int64)."""
+    """Per-doc sorted distinct shingle-hash arrays (int64).
+
+    Stays a per-doc np.unique loop ON MEASUREMENT: 3-gram shingle
+    hashes are ~all-unique within a doc, so a global lexsort+mask pass
+    sorts the full occurrence stream (0.22 s/1M) while 20k tiny
+    per-doc sorts cost 0.10 s — the loop wins at every batch size
+    tried (round-7 A/B)."""
     out = []
     for i in range(len(starts)):
         seg = H[starts[i] : starts[i] + sizes[i]]
@@ -117,6 +135,7 @@ def make_minhash_features_udf(params: list, k: int, shingle_n: int = 3):
         th = hash_many_short(flat).astype(np.uint64)
         H, starts, sizes = _shingle_occurrences(th, counts, shingle_n)
         sh = _sh_lists(H, starts, sizes)
+        any_null = bool(nulls.any())
         cols: dict = {}
         for j in range(k):
             vals = (a_arr[j] * H + b_arr[j]) % _M
@@ -124,10 +143,18 @@ def make_minhash_features_udf(params: list, k: int, shingle_n: int = 3):
                 mins = np.minimum.reduceat(vals, starts).astype(np.int64)
             else:
                 mins = np.zeros(len(counts), dtype=np.int64)
-            cols[f"sig_{j}"] = [
-                None if nulls[i] else int(mins[i]) for i in range(len(counts))
-            ]
-        cols["sh"] = [None if nulls[i] else sh[i] for i in range(len(counts))]
+            # no-null fast path: hand pandas the int64 array directly
+            # (the per-element comprehension exists only to inject None)
+            cols[f"sig_{j}"] = (
+                [None if nulls[i] else int(mins[i]) for i in range(len(counts))]
+                if any_null
+                else mins
+            )
+        cols["sh"] = (
+            [None if nulls[i] else sh[i] for i in range(len(counts))]
+            if any_null
+            else sh
+        )
         return pd.DataFrame(cols)
 
     return minhash_features
@@ -151,7 +178,9 @@ def make_simhash_features_udf(
     @F.pandas_udf(schema)
     def simhash_features(tokens: pd.Series) -> pd.DataFrame:
         flat, counts, nulls = _flatten(tokens)
-        th = hash_many_short(flat).astype(np.uint64)
+        codes, uh = hash_tokens_factorized(flat)
+        uhu = uh.astype(np.uint64)
+        th = uhu if len(uh) == len(codes) else uhu[codes]
         if include_sh:
             H, starts, sizes = _shingle_occurrences(th, counts, shingle_n)
             sh = _sh_lists(H, starts, sizes)
@@ -161,7 +190,41 @@ def make_simhash_features_udf(
         n = len(counts)
         sim = np.zeros(n, dtype=np.uint64)
         nonempty = np.flatnonzero(counts > 0)
-        if len(nonempty) and len(th):
+        nuniq = len(uh)
+        if len(nonempty) and len(th) and n * nuniq <= _DENSE_MAX_RATIO * len(th):
+            # Zipf fast path: bit indicators per UNIQUE token, per-doc
+            # bit counts as ONE doc×unique count matrix (bincount over
+            # doc·nuniq+code) times the unique×bits indicator matrix —
+            # float64 matmul is EXACT here (every operand and every
+            # partial sum is an integer ≤ tokens-per-doc < 2^21 ≪ 2^53).
+            # Identical counts to the per-occurrence reduceat: summing
+            # bit_j over occurrences ≡ summing count(u)·bit_j(u) over
+            # uniques. Gated on matrix work ≤ 8× the occurrence count,
+            # so high-entropy batches (nuniq ~ |tokens|) keep the
+            # occurrence-lane path below.
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            cmat = (
+                np.bincount(doc_idx * nuniq + codes, minlength=n * nuniq)
+                .astype(np.float64)
+                .reshape(n, nuniq)
+            )
+            if spread_params is None:
+                spreads_u = [uhu]
+            else:
+                spreads_u = [
+                    (np.uint64(a) * uhu + np.uint64(b)) % _M for a, b in spread_params
+                ]
+            B = np.empty((nuniq, bits), dtype=np.float64)
+            for j in range(bits):
+                d = spreads_u[j // 31] if spread_params is not None else uhu
+                shift = np.uint64(j % 31 if spread_params is not None else j)
+                B[:, j] = ((d >> shift) & np.uint64(1)).astype(np.float64)
+            cnt = cmat @ B
+            on = cnt * 2.0 > counts.astype(np.float64)[:, None]
+            sim = (
+                on.astype(np.uint64) << np.arange(bits, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+        elif len(nonempty) and len(th):
             tok_starts = np.zeros(n, dtype=np.int64)
             if n > 1:
                 np.cumsum(counts[:-1], out=tok_starts[1:])
@@ -193,6 +256,8 @@ def make_simhash_features_udf(
                     on = (c * np.uint64(2)) > nseg
                     sim[nonempty[on]] |= np.uint64(1) << np.uint64(j)
         sim_i = sim.view(np.int64)
+        if not nulls.any():
+            return pd.DataFrame({"sim": sim_i, "sh": sh})
         return pd.DataFrame(
             {
                 "sim": [None if nulls[i] else int(sim_i[i]) for i in range(n)],
