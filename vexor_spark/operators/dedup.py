@@ -110,6 +110,28 @@ def _sig_aggs(k: int = MINHASH_K) -> list[Column]:
     ]
 
 
+def minhash_per_doc(
+    docs: DataFrame, tokens_col: str = "tokens", *, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{K-1}, sh) — the fused per-doc MinHash
+    feature frame (signatures + sorted distinct shingle-hash set) from
+    ONE Arrow kernel pass; the shared build block of the MinHash arms.
+    Null-token docs are dropped by a pre-kernel filter (see
+    minhash_signatures for why it must precede the UDF)."""
+    from vexor_spark.operators.dedup_kernels import make_minhash_features_udf
+
+    udf = make_minhash_features_udf(MINHASH_PARAMS, MINHASH_K, shingle_n)
+    return (
+        docs.filter(F.col(tokens_col).isNotNull())
+        .select("doc_id", udf(tokens_col).alias("f"))
+        .select(
+            "doc_id",
+            *[F.col(f"f.sig_{j}").alias(f"sig_{j}") for j in range(MINHASH_K)],
+            F.col("f.sh").alias("sh"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, tokens_col: str = "tokens", *, k: int = MINHASH_K, shingle_n: int = 3
 ) -> DataFrame:
@@ -127,6 +149,8 @@ def minhash_signatures(
     unwidened 1-2-partition scan (round-7 plan audit)."""
     from vexor_spark.operators.dedup_kernels import make_minhash_features_udf
 
+    if k == MINHASH_K:
+        return minhash_per_doc(docs, tokens_col, shingle_n=shingle_n).drop("sh")
     udf = make_minhash_features_udf(MINHASH_PARAMS, k, shingle_n)
     return (
         docs.filter(F.col(tokens_col).isNotNull())
@@ -184,18 +208,26 @@ def bucket_candidate_pairs(
             joined = joined.filter(pair_filter)
         return joined.select(*out_cols).distinct()
 
-    if max_bucket is None:
-        left = keyed.select(
+    def _plain(rows: DataFrame) -> DataFrame:
+        left = rows.select(
             F.col("doc_id").alias("doc_a"),
             "bucket_key",
             *[F.col(c).alias(f"{c}_a") for c in payload],
         )
-        right = keyed.select(
+        right = rows.select(
             F.col("doc_id").alias("doc_b"),
             "bucket_key",
             *[F.col(c).alias(f"{c}_b") for c in payload],
         )
-        return _finish(left.join(right, "bucket_key"))
+        return left.join(right, "bucket_key")
+
+    if max_bucket is None:
+        return _finish(_plain(keyed))
+    # (Round-7 note: a small-bucket/big-bucket split — plain join for
+    # ≤C buckets, window-chunked join only for the rare >C ones — was
+    # prototyped and REVERTED: its bucket-size groupBy + flag join cost
+    # more than the saved window sort in an interleaved A/B at 10×,
+    # 2.22 s vs 2.07 s for the LSH pairs stage.)
     w = Window.partitionBy("bucket_key").orderBy("doc_id")
     idx = keyed.withColumn("i", F.row_number().over(w) - 1).withColumn(
         "chunk", (F.col("i") / F.lit(int(max_bucket))).cast("int")
@@ -289,7 +321,7 @@ def _verify_jaccard(
 
 
 def near_dup_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     tokens_col: str = "tokens",
     *,
     threshold: float = 0.8,
@@ -297,6 +329,7 @@ def near_dup_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — MinHash-LSH candidates verified by
     exact n-gram Jaccard ≥ threshold, computed over int64 shingle-hash
@@ -309,22 +342,17 @@ def near_dup_pairs(
     hash sets equals shingle-set Jaccard except under poly collisions
     (~|S|²/2³¹ per pair; the DuckDB oracle hashes identically, so
     parity is exact either way)."""
-    from vexor_spark.operators.dedup_kernels import make_minhash_features_udf
-
-    udf = make_minhash_features_udf(MINHASH_PARAMS, MINHASH_K, shingle_n)
-    # null-token pre-filter, NOT a post-UDF f.sig_0 filter: the latter
-    # is predicate-pushed below the scan-widening exchange and runs the
-    # kernel twice, once on the unwidened scan (round-7 plan audit).
-    per_doc = (
-        docs.filter(F.col(tokens_col).isNotNull())
-        .select("doc_id", udf(tokens_col).alias("f"))
-        .select(
-            "doc_id",
-            *[F.col(f"f.sig_{j}").alias(f"sig_{j}") for j in range(MINHASH_K)],
-            F.col("f.sh").alias("sh"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # `per_doc` injection (round-7): a caller that can build the
+    # feature frame more cheaply than a direct kernel pass — e.g. the
+    # planted-duplicate catalog corpora, where the duplicate branch's
+    # features are an id-shift of the base branch's — passes it in;
+    # the caller is responsible for its checkpointing. Default: one
+    # kernel pass over `docs` (minhash_per_doc), lazily checkpointed
+    # because it feeds three consumers.
+    if per_doc is None:
+        per_doc = minhash_per_doc(
+            docs, tokens_col, shingle_n=shingle_n
+        ).localCheckpoint(eager=False)
     sigs = per_doc.select("doc_id", *[f"sig_{j}" for j in range(MINHASH_K)])
     pairs = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
