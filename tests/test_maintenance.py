@@ -298,3 +298,32 @@ def test_measure_change_shape_sampled_early_exit(spark, tmp_path):
     assert "sampled" not in gated
     assert gated["affected_term_buckets"] == exact["affected_term_buckets"]
     assert gated["bucket_ratio"] <= 0.25
+
+
+def test_diffuse_by_count_guard_skips_probe(spark, tmp_path, monkeypatch):
+    """Round-7 retune (2M measurement, BENCH_R07_SCALE
+    inplace_sharedvocab_2M): when the dict-only changed-doc estimate
+    dwarfs the term-bucket count, update_index routes delta WITHOUT
+    paying the shape probe — url tokens alone make such a change
+    diffuse. Forced here by shrinking the guard; the default guard
+    keeps probing small corpora (every other routing test still
+    exercises the probe)."""
+    import vexor_spark.index.maintenance as mt
+
+    work, idx = tmp_path / "w", tmp_path / "i"
+    update_index(_df(spark, _corpus()), work, idx, term_buckets=TERM_BUCKETS)
+
+    calls = []
+    real = mt.measure_change_shape
+    monkeypatch.setattr(
+        mt, "measure_change_shape",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    monkeypatch.setattr(mt, "DIFFUSE_DOCS_PER_BUCKET", 0)
+    s = update_index(
+        _df(spark, _corpus(mutations={3: "count guard body"})), work, idx
+    )
+    assert s["route"] == "delta"
+    assert s["route_reason"].startswith("diffuse_by_count")
+    assert "shape" not in s
+    assert not calls  # the probe never ran
